@@ -1,0 +1,165 @@
+"""Hard voxelization with fixed capacity and deterministic truncation.
+
+Behavioral spec from spconv's VoxelGenerator as used by the reference
+(vision3d/core/preprocess.py:18-33, config.py:13-16): points are scanned in
+order; each new occupied voxel is assigned the next id until MAX_VOXELS is
+reached (later new voxels are dropped, points landing in existing voxels
+still accumulate); each voxel keeps the first MAX_OCCUPANCY points; output
+coords are ZYX; out-of-range points are dropped. Point order therefore
+determines truncation — the training dataset shuffles points
+(reference dataset/kitti_dataset.py:154), so parity requires reproducing
+exactly this first-come semantics.
+
+TPU design: instead of spconv's sequential hash insertion, we recover the
+identical result with one stable sort — sort points by voxel key (stable in
+point order), segment the sorted stream, scatter-min each segment's first
+point index, and rank segments by it. That rank IS spconv's voxel id.
+Everything is static-shape: (max_voxels, max_occupancy, C) features plus
+validity masks, so the whole thing lives inside the jit graph (points in
+HBM -> voxels, no host round trip).
+
+The z grid extent is round((z1-z0)/vz) for point validity (spconv's grid
+size) while the sparse tensor's spatial shape gets +1 (reference
+sparse_cnn.py:43) — the top z slot is structural padding.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision3d_tpu.config import Config
+
+
+def grid_dims_xyz(cfg: Config) -> tuple:
+    """Point-validity grid extents (nx, ny, nz), spconv rounding."""
+    vs = np.asarray(cfg.voxel_size)
+    lo = np.asarray(cfg.grid_bounds[:3])
+    hi = np.asarray(cfg.grid_bounds[3:])
+    return tuple(int(x) for x in np.round((hi - lo) / vs))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def voxelize(points, num_points, cfg: Config):
+    """Voxelize one sample's point cloud on device.
+
+    Args:
+      points: (P, C) float32, first 3 columns are xyz. Rows past
+        ``num_points`` are padding and ignored.
+      num_points: scalar int32, count of real points.
+      cfg: config (static).
+
+    Returns dict with static shapes (N = cfg.max_voxels, K = cfg.max_occupancy):
+      features:  (N, K, C) raw per-point features, zero-padded.
+      coords:    (N, 3) int32 ZYX voxel coordinates (0 where invalid).
+      occupancy: (N,) int32 number of stored points per voxel.
+      num_voxels: scalar int32.
+      voxel_mask: (N,) bool validity.
+    """
+    P, C = points.shape
+    N, K = cfg.max_voxels, cfg.max_occupancy
+    nx, ny, nz = grid_dims_xyz(cfg)
+    lo = jnp.asarray(cfg.grid_bounds[:3], dtype=points.dtype)
+    vs = jnp.asarray(cfg.voxel_size, dtype=points.dtype)
+
+    cxyz = jnp.floor((points[:, :3] - lo) / vs).astype(jnp.int32)
+    dims = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
+    in_range = ((cxyz >= 0) & (cxyz < dims)).all(axis=1)
+    in_range &= jnp.arange(P) < num_points
+    # ZYX-major linear key; invalid points get the sentinel key (sorts last).
+    key = (cxyz[:, 2] * ny + cxyz[:, 1]) * nx + cxyz[:, 0]
+    sentinel = nz * ny * nx
+    key = jnp.where(in_range, key, sentinel)
+
+    order = jnp.argsort(key, stable=True)       # stable => point order kept
+    skey = key[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    seg = jnp.cumsum(first) - 1                  # segment id per sorted point
+    pos = jnp.arange(P)
+    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, pos, 0))
+    slot = pos - seg_start                       # first-come slot within voxel
+
+    # spconv's voxel id = rank of the segment's first point in scan order.
+    big = jnp.iinfo(jnp.int32).max
+    seg_first_pt = jnp.full((P,), big, jnp.int32).at[seg].min(
+        jnp.where(skey < sentinel, order, big).astype(jnp.int32)
+    )
+    seg_rank = jnp.argsort(jnp.argsort(seg_first_pt))
+    vox = seg_rank[seg]                          # voxel id per sorted point
+
+    valid = (skey < sentinel) & (vox < N) & (slot < K)
+    vidx = jnp.where(valid, vox, N)              # N = drop bucket
+    kidx = jnp.where(valid, slot, K)
+
+    features = jnp.zeros((N, K, C), points.dtype).at[vidx, kidx].set(
+        points[order], mode="drop"
+    )
+    occupancy = jnp.zeros((N,), jnp.int32).at[vidx].add(
+        valid.astype(jnp.int32), mode="drop"
+    )
+    skey_c = jnp.where(skey < sentinel, skey, 0)
+    cz = skey_c // (ny * nx)
+    cy = (skey_c // nx) % ny
+    cx = skey_c % nx
+    coords_sorted = jnp.stack([cz, cy, cx], axis=-1)
+    coords = jnp.zeros((N, 3), jnp.int32).at[vidx].set(
+        jnp.where(valid[:, None], coords_sorted, 0), mode="drop"
+    )
+    num_voxels = jnp.minimum((seg_first_pt < big).sum(), N).astype(jnp.int32)
+    voxel_mask = jnp.arange(N) < num_voxels
+    return dict(
+        features=features,
+        coords=coords,
+        occupancy=occupancy,
+        num_voxels=num_voxels,
+        voxel_mask=voxel_mask,
+    )
+
+
+def voxelize_batch(points, num_points, cfg: Config):
+    """vmapped voxelization: (B, P, C) -> dict of (B, ...) arrays."""
+    return jax.vmap(lambda p, n: voxelize(p, n, cfg))(points, num_points)
+
+
+def voxelize_np(points: np.ndarray, cfg: Config):
+    """Host reference voxelizer with identical first-come semantics.
+
+    Mirrors the reference Preprocessor's per-sample spconv call
+    (core/preprocess.py:26-33); returns only real voxels (dynamic length).
+    """
+    nx, ny, nz = grid_dims_xyz(cfg)
+    lo = np.asarray(cfg.grid_bounds[:3], dtype=points.dtype)
+    vs = np.asarray(cfg.voxel_size, dtype=points.dtype)
+    c = np.floor((points[:, :3] - lo) / vs).astype(np.int64)
+    ok = ((c >= 0) & (c < np.array([nx, ny, nz]))).all(axis=1)
+
+    N, K, C = cfg.max_voxels, cfg.max_occupancy, points.shape[1]
+    features = np.zeros((N, K, C), points.dtype)
+    coords = np.zeros((N, 3), np.int32)
+    occupancy = np.zeros((N,), np.int32)
+    table = {}
+    for i in np.flatnonzero(ok):
+        zyx = (int(c[i, 2]), int(c[i, 1]), int(c[i, 0]))
+        v = table.get(zyx)
+        if v is None:
+            if len(table) >= N:
+                continue
+            v = len(table)
+            table[zyx] = v
+            coords[v] = zyx
+        if occupancy[v] < K:
+            features[v, occupancy[v]] = points[i]
+            occupancy[v] += 1
+    n = len(table)
+    return features[:n], coords[:n], occupancy[:n]
+
+
+def mean_vfe(features, occupancy):
+    """Voxel feature extractor: mean of stored points per voxel.
+
+    Reference detector/layers.py:7-17 divides the K-sum by occupancy; here
+    padded voxels (occupancy 0) yield zeros instead of NaN.
+    """
+    denom = jnp.maximum(occupancy, 1).astype(features.dtype)[..., None]
+    return features.sum(axis=-2) / denom
