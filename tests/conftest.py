@@ -36,7 +36,7 @@ def tiny_cfg():
     cfg = Config()
     return cfg.replace(
         max_voxels=512,
-        voxel_size=(0.4, 0.4, 0.4),
+        voxel_size=(0.4, 0.4, 0.1),  # z=0.1 keeps the 41->21->11->5->2 chain
         grid_bounds=(0.0, -12.8, -3.0, 25.6, 12.8, 1.0),
         num_classes=1,
         anchors=cfg.anchors[:1],

@@ -1,0 +1,119 @@
+"""Sparse conv primitives vs dense XLA convolution ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision3d_tpu.ops import sparse as sp
+
+
+def random_sparse(rng, grid, n_active, cap, c_in):
+    d, h, w = grid
+    lin = rng.choice(d * h * w, size=n_active, replace=False)
+    coords = np.stack([lin // (h * w), (lin // w) % h, lin % w], -1).astype(np.int32)
+    feats = rng.normal(size=(n_active, c_in)).astype(np.float32)
+    # pad to capacity
+    coords = np.concatenate([coords, np.zeros((cap - n_active, 3), np.int32)])
+    feats_p = np.concatenate([feats, np.zeros((cap - n_active, c_in), np.float32)])
+    mask = np.arange(cap) < n_active
+    return jnp.asarray(feats_p), jnp.asarray(coords), jnp.asarray(mask)
+
+
+def dense_conv(dense_in, weight_kcc, kernel, stride, pad):
+    """lax.conv_general_dilated ground truth on (D, H, W, C)."""
+    k = kernel
+    w = weight_kcc.reshape(k[0], k[1], k[2], dense_in.shape[-1], -1)
+    out = jax.lax.conv_general_dilated(
+        dense_in[None],
+        w,
+        window_strides=stride,
+        padding=[(pad[0], pad[0]), (pad[1], pad[1]), (pad[2], pad[2])],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return out[0]
+
+
+@pytest.mark.parametrize("kernel", [(3, 3, 3), (3, 1, 1)])
+def test_subm_conv_matches_dense(rng, kernel):
+    grid, cap, cin, cout = (6, 10, 8), 96, 5, 7
+    feats, coords, mask = random_sparse(rng, grid, 64, cap, cin)
+    f, k, m = sp.make_sorted(feats, coords, mask, grid)
+    weight = jnp.asarray(
+        rng.normal(size=(int(np.prod(kernel)) * cin, cout)), jnp.float32
+    )
+    pad = tuple(s // 2 for s in kernel)
+    out = sp.sparse_conv_apply(f, k, m, weight, grid, kernel, (1, 1, 1), pad)
+
+    dense_in = np.asarray(sp.to_dense(f, k, m, grid))
+    ref = dense_conv(jnp.asarray(dense_in), weight, kernel, (1, 1, 1), pad)
+    kk = np.asarray(k)
+    mm = np.asarray(m)
+    ref_at = np.asarray(ref).reshape(-1, cout)[kk[mm]]  # sentinel keys masked out
+    np.testing.assert_allclose(
+        np.asarray(out)[mm], ref_at, rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize(
+    "kernel,stride,pad",
+    [
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+        ((3, 3, 3), (2, 2, 2), (0, 1, 1)),
+        ((3, 1, 1), (2, 1, 1), (0, 0, 0)),
+    ],
+)
+def test_strided_conv_matches_dense(rng, kernel, stride, pad):
+    grid, cap, cin, cout = (7, 12, 10), 128, 4, 6
+    feats, coords, mask = random_sparse(rng, grid, 90, cap, cin)
+    f, k, m = sp.make_sorted(feats, coords, mask, grid)
+    out_grid = sp.out_grid_shape(grid, kernel, stride, pad)
+    ok, om = sp.downsample_active_set(k, m, grid, kernel, stride, pad, cap)
+    weight = jnp.asarray(
+        rng.normal(size=(int(np.prod(kernel)) * cin, cout)), jnp.float32
+    )
+    out = sp.sparse_conv_apply(
+        f, k, m, weight, out_grid, kernel, stride, pad,
+        out_keys=ok, out_mask=om, in_grid=grid,
+    )
+
+    dense_in = sp.to_dense(f, k, m, grid)
+    ref = np.asarray(dense_conv(dense_in, weight, kernel, stride, pad))
+    ref_flat = ref.reshape(-1, cout)
+    np.testing.assert_allclose(
+        np.asarray(out)[np.asarray(om)],
+        ref_flat[np.asarray(ok)[np.asarray(om)]],
+        rtol=2e-4, atol=2e-4,
+    )
+    # active output set covers every nonzero dense site
+    nz = np.abs(ref_flat).sum(-1) > 1e-6
+    active = np.zeros(len(ref_flat), bool)
+    active[np.asarray(ok)[np.asarray(om)]] = True
+    assert not (nz & ~active).any(), "dense conv nonzero outside active set"
+
+
+def test_downsample_capacity_truncation(rng):
+    grid = (4, 8, 8)
+    feats, coords, mask = random_sparse(rng, grid, 60, 64, 2)
+    f, k, m = sp.make_sorted(feats, coords, mask, grid)
+    ok_full, om_full = sp.downsample_active_set(
+        k, m, grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), 256
+    )
+    n_full = int(om_full.sum())
+    cap = max(n_full // 2, 1)
+    ok_cut, om_cut = sp.downsample_active_set(
+        k, m, grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), cap
+    )
+    assert int(om_cut.sum()) == cap
+    # deterministic: lowest keys kept, ascending order
+    np.testing.assert_array_equal(
+        np.asarray(ok_cut)[:cap], np.sort(np.asarray(ok_full)[:n_full])[:cap]
+    )
+
+
+def test_keys_roundtrip():
+    grid = (5, 7, 9)
+    coords = jnp.asarray([[0, 0, 0], [4, 6, 8], [2, 3, 4]], jnp.int32)
+    keys = sp.coords_to_keys(coords, grid)
+    back = sp.keys_to_coords(keys, grid)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(coords))

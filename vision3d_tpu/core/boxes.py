@@ -44,13 +44,20 @@ def encode(boxes, anchors, xp=jnp):
     )
 
 
-def decode(deltas, anchors, xp=jnp):
+def decode(deltas, anchors, xp=jnp, max_wlh_delta=10.0):
     """Decode (*, 7) deltas against (*, 7) anchors -> (*, 7) boxes.
 
     Reference core/box_encode.py:13-23; note the raw (unwrapped) yaw add —
     this asymmetry is part of the reference contract.
+
+    ``max_wlh_delta`` clamps the log-size residual before exp (serving
+    safety: an untrained or adversarial delta can otherwise overflow to
+    inf; e^10 ~ 22000x is far beyond any trained residual, so this never
+    binds on real checkpoints). Pass None for raw reference behavior.
     """
     P_xyz, P_wlh, P_yaw = deltas[..., 0:3], deltas[..., 3:6], deltas[..., 6:7]
+    if max_wlh_delta is not None:
+        P_wlh = xp.clip(P_wlh, -max_wlh_delta, max_wlh_delta)
     A_xyz, A_wlh, A_yaw = anchors[..., 0:3], anchors[..., 3:6], anchors[..., 6:7]
     A_norm = _anchor_diagonal(A_wlh, xp)
     return xp.concatenate(

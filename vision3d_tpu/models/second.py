@@ -1,0 +1,65 @@
+"""SECOND one-stage voxel detector, end to end in one jit graph.
+
+Behavioral spec from the reference (vision3d/detector/second.py:10-46):
+vfe (mean pool) -> sparse CNN middle extractor -> 2D RPN -> proposal head;
+``inference`` additionally decodes + NMS-filters against the anchor grid.
+
+TPU design: points -> voxelize -> sparse conv -> BEV -> head is a single
+pure function over (params, batch) with static shapes throughout, so both
+the train forward and full inference (including voxelization, decode and
+NMS) compile to one XLA program — no host round trips anywhere
+(the reference voxelizes on CPU in dataloader workers and syncs to host
+inside NMS, SURVEY §3.1-3.2).
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vision3d_tpu.config import Config
+from vision3d_tpu.core.voxelize import mean_vfe, voxelize_batch
+from vision3d_tpu.models.head import Detections, ProposalHead, head_inference
+from vision3d_tpu.models.rpn import RPN
+from vision3d_tpu.models.sparse_cnn import CNN_FACTORY, from_voxels
+
+
+class Second(nn.Module):
+    cfg: Config
+
+    def setup(self):
+        self.cnn = CNN_FACTORY[self.cfg.cnn](self.cfg)
+        self.rpn = RPN(c_down=self.cfg.proposal.c_in, c_up=self.cfg.proposal.c_in)
+        self.head = ProposalHead(self.cfg)
+
+    def feature_extract(self, points, num_points, train: bool):
+        """points (B, P, C), num_points (B,) -> BEV features (B, ny, nx, C)."""
+        vox = voxelize_batch(points, num_points, self.cfg)
+        feats = mean_vfe(vox["features"], vox["occupancy"])
+        st = from_voxels(feats, vox["coords"], vox["voxel_mask"],
+                         self.cfg.grid_shape_zyx)
+        _, bev = self.cnn(st, train)
+        return self.rpn(bev, train)
+
+    def __call__(self, points, num_points, train: bool = False):
+        """Training forward: returns (cls_map, reg_map) in anchor layout."""
+        features = self.feature_extract(points, num_points, train)
+        return self.head(features)
+
+    def inference(self, points, num_points, anchors) -> Detections:
+        """Full detector: points in, NMS-filtered boxes out, one graph."""
+        cls_map, reg_map = self(points, num_points, train=False)
+        return head_inference(cls_map, reg_map, anchors, self.cfg)
+
+
+def create_second(cfg: Config, rng: jax.Array, example_batch=None):
+    """Initialize a Second model; returns (module, variables)."""
+    model = Second(cfg)
+    if example_batch is None:
+        points = jnp.zeros((1, 64, cfg.c_in), jnp.float32)
+        num_points = jnp.asarray([64], jnp.int32)
+    else:
+        points, num_points = example_batch
+    variables = model.init(rng, points, num_points, train=False)
+    return model, variables
