@@ -1,0 +1,123 @@
+"""SECOND inference benchmark on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Baseline target: >= 500 KITTI frames/sec/chip on TPU v5e (BASELINE.md).
+
+Measures the full single-graph pipeline — voxelize -> sparse CNN -> RPN ->
+head decode -> rotated NMS — at the reference's full KITTI geometry
+(voxel 0.05x0.05x0.1, grid 41x1600x1408, 20k voxel cap, top-100, car
+config), on synthetic KITTI-density clouds. ``--quick`` shrinks shapes
+for a fast smoke run.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def kitti_like_points(rng, n):
+    """Synthetic cloud with roughly KITTI-like radial density."""
+    r = 3.0 + 67.0 * rng.beta(1.2, 2.2, n)
+    th = rng.uniform(-0.7, 0.7, n)
+    x = r * np.cos(th)
+    y = r * np.sin(th)
+    z = rng.uniform(-2.5, 0.8, n)
+    i = rng.uniform(0, 1, (n, 1))
+    keep = (x > 0) & (x < 70.4) & (np.abs(y) < 40)
+    pts = np.concatenate([np.stack([x, y, z], -1), i], -1).astype(np.float32)
+    return pts[keep]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--points", type=int, default=18000)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vision3d_tpu.config import Config
+    from vision3d_tpu.core.anchors import make_anchors
+    from vision3d_tpu.models.second import Second, create_second
+
+    cfg = Config.from_yaml("configs/second/car.yaml") if False else Config()
+    cfg = cfg.replace(
+        num_classes=1,
+        anchors=cfg.anchors[:1],
+        compute_dtype=args.dtype,
+    )
+    if args.quick:
+        cfg = cfg.replace(
+            max_voxels=4096,
+            voxel_size=(0.1, 0.1, 0.1),
+            grid_bounds=(0.0, -19.2, -3.0, 38.4, 19.2, 1.0),
+        )
+        args.batch, args.points, args.iters = 2, 6000, 5
+
+    rng = np.random.default_rng(0)
+    P = args.points
+    clouds = []
+    for _ in range(args.batch):
+        p = kitti_like_points(rng, int(P * 1.6))
+        if len(p) < P:
+            p = np.concatenate([p, p[rng.integers(0, len(p), P - len(p))]])
+        clouds.append(p[:P])
+    points = jnp.asarray(np.stack(clouds))
+    num = jnp.full((args.batch,), P, jnp.int32)
+
+    model, variables = create_second(
+        cfg, jax.random.PRNGKey(0), (points[:1], num[:1])
+    )
+    anchors = jnp.asarray(make_anchors(cfg))
+
+    @jax.jit
+    def infer(points, num):
+        return model.apply(
+            variables, points, num, anchors, method=Second.inference
+        )
+
+    t_compile = time.perf_counter()
+    out = infer(points, num)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t_compile
+
+    for _ in range(args.warmup):
+        jax.block_until_ready(infer(points, num))
+
+    lat = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(infer(points, num))
+        lat.append(time.perf_counter() - t0)
+
+    lat = np.asarray(lat)
+    fps = args.batch / lat.mean()
+    p50_ms = float(np.percentile(lat, 50) / args.batch * 1e3)
+    baseline_fps = 500.0
+    print(
+        json.dumps(
+            {
+                "metric": "second_inference_frames_per_sec_per_chip",
+                "value": round(float(fps), 2),
+                "unit": "frames/s",
+                "vs_baseline": round(float(fps) / baseline_fps, 4),
+                "p50_latency_ms_per_frame": round(p50_ms, 3),
+                "batch": args.batch,
+                "points_per_frame": args.points,
+                "compile_s": round(compile_s, 1),
+                "device": str(jax.devices()[0]),
+                "dtype": args.dtype,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
