@@ -1,0 +1,149 @@
+"""PV-RCNN stage 2: RoI grid pooling + box refinement.
+
+Behavioral spec from the reference:
+  * RoiGridPool (vision3d/detector/roi_grid_pool.py:10-72): sample
+    NUM_GRIDPOINTS=16 uniform random points inside each proposal box
+    (axis-aligned in the box frame, then rotated by yaw), aggregate
+    keypoint features around each gridpoint with a set-abstraction layer
+    (radii GRIDPOOL.RADII_PN, widths MLPS_PN whose first entry is the
+    512-d keypoint feature input), then reduce the 16*192 concatenated
+    gridpoint features with an MLP to 256.
+  * RefinementLayer (vision3d/detector/refinement.py:8-50): an MLP
+    [256, 128] -> box_dof+1 producing box deltas + a confidence logit.
+    The reference leaves ``apply_refinements`` unimplemented and has no
+    RefinementLoss (SURVEY P26) — both are completed here: deltas decode
+    against the proposal box treated as the anchor (same VoxelNet codec as
+    stage 1), and the loss is BCE on IoU-thresholded confidence plus
+    smooth-L1 on encoded residuals of positive proposals (the assignment
+    the incomplete reference RefinementTargetAssigner sketches via
+    per-class radii lives in core/targets.py as
+    assign_refinement_targets).
+"""
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vision3d_tpu.config import Config
+from vision3d_tpu.core.boxes import decode, encode
+from vision3d_tpu.models.losses import smooth_l1
+from vision3d_tpu.models.pointnet import SetAbstractionMSG
+
+
+class MLP(nn.Module):
+    """Linear(+ReLU) stack (reference detector/layers.py:53-73)."""
+
+    widths: Tuple[int, ...]
+    final_activation: bool = True
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i, w in enumerate(self.widths):
+            x = nn.Dense(w, use_bias=self.use_bias,
+                         kernel_init=nn.initializers.normal(0.01))(x)
+            if self.final_activation or i < len(self.widths) - 1:
+                x = nn.relu(x)
+        return x
+
+
+def sample_gridpoints(rng, boxes, m: int):
+    """(B, N, 7) boxes -> (B, N, m, 3) uniform points inside each box,
+    rotated to the box frame (reference roi_grid_pool.py:35-62)."""
+    b, n, _ = boxes.shape
+    u = jax.random.uniform(rng, (b, n, m, 3)) - 0.5
+    local = boxes[:, :, None, 3:6] * u
+    yaw = boxes[..., 6][:, :, None]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    x = local[..., 0] * c - local[..., 1] * s
+    y = local[..., 0] * s + local[..., 1] * c
+    rotated = jnp.stack([x, y, local[..., 2]], axis=-1)
+    return boxes[:, :, None, 0:3] + rotated
+
+
+class RoiGridPool(nn.Module):
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, rng, proposals, keypoints, keypoint_features,
+                 keypoint_mask, train: bool = False):
+        """proposals (B, N, 7), keypoints (B, K, 3), features (B, K, C) ->
+        pooled (B, N, mlps_reduction[-1])."""
+        c = self.cfg
+        m = c.gridpool.num_gridpoints
+        b, n, _ = proposals.shape
+        grid = sample_gridpoints(rng, proposals, m).reshape(b, n * m, 3)
+        feats = SetAbstractionMSG(
+            radii=tuple(c.gridpool.radii_pn),
+            nsamples=tuple(c.samples_pn),
+            mlps=tuple(tuple(w[1:]) for w in c.gridpool.mlps_pn),
+        )(keypoints, keypoint_features, keypoint_mask, grid, train)
+        feats = feats.reshape(b, n, -1)  # (B, N, m * sum(out_widths))
+        return MLP(widths=tuple(c.gridpool.mlps_reduction[1:]))(feats)
+
+
+class RefinementLayer(nn.Module):
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, pooled):
+        """pooled (B, N, C) -> (box_deltas (B, N, 7), score_logits (B, N))."""
+        c = self.cfg
+        h = MLP(widths=tuple(c.refinement.mlps), use_bias=True)(pooled)
+        out = nn.Dense(c.box_dof + 1, use_bias=True,
+                       kernel_init=nn.initializers.normal(0.01))(h)
+        return out[..., : c.box_dof], out[..., c.box_dof]
+
+
+def apply_refinements(box_deltas, proposals):
+    """Completed reference TODO (refinement.py:32-33): residuals decode
+    against the proposal treated as the anchor, same codec as stage 1."""
+    return decode(box_deltas, proposals)
+
+
+def refinement_loss(box_deltas, score_logits, proposals, proposal_valid,
+                    gt_boxes, gt_mask, cfg: Config,
+                    fg_iou: float = 0.55):
+    """Completed reference TODO (refinement.py:14): confidence BCE +
+    smooth-L1 on encoded residuals of foreground proposals.
+
+    Assignment: each proposal matches its highest-BEV-IoU gt
+    (angle mode from config); IoU >= fg_iou is foreground.
+    """
+    from vision3d_tpu.core.iou import rotated_iou
+
+    bev = jnp.asarray([0, 1, 3, 4, 6])
+
+    def per_sample(props, pv, gts, gm):
+        iou = rotated_iou(
+            props[:, None, bev], gts[None, :, bev], cfg.iou_angle_mode
+        )
+        iou = jnp.where(gm[None, :], iou, 0.0)
+        best = iou.max(axis=1)
+        match = iou.argmax(axis=1)
+        fg = (best >= fg_iou) & pv
+        target = encode(gts[match], props)
+        return fg, target, best
+
+    fg, target, best_iou = jax.vmap(per_sample)(
+        proposals, proposal_valid, gt_boxes, gt_mask
+    )
+    valid = proposal_valid
+    n_fg = jnp.maximum(fg.sum(), 1.0)
+
+    # confidence: binary cross entropy on fg label over valid proposals
+    lbl = fg.astype(score_logits.dtype)
+    bce = jnp.maximum(score_logits, 0) - score_logits * lbl + jnp.log1p(
+        jnp.exp(-jnp.abs(score_logits))
+    )
+    cls_loss = (bce * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+
+    reg = smooth_l1(box_deltas, target).sum(-1)
+    reg_loss = (reg * fg).sum() / n_fg
+    return dict(
+        refine_cls_loss=cls_loss,
+        refine_reg_loss=reg_loss,
+        refine_loss=cls_loss + reg_loss,
+    )
