@@ -1,0 +1,88 @@
+"""Training entry point (reference vision3d/train.py).
+
+The reference hardcodes paths and hyperparameters in module scope
+(SURVEY L6: no argparse anywhere); here the same defaults are exposed as
+flags. Run:
+
+    python -m vision3d_tpu.train_cli --config configs/second/car.yaml
+
+Loop semantics match the reference (train.py:57-72): per-iteration LR
+schedule, grad-clip 35, metrics every 10 steps, checkpoint every 3 epochs
+and at the end — with the TPU differences that the whole step (target
+assignment included) is one jit program and batches shard over the device
+mesh.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None, help="reference-format YAML")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--metrics-jsonl", default="./metrics.jsonl")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from vision3d_tpu.config import Config
+    from vision3d_tpu.data.kitti import KittiDatasetTrain
+    from vision3d_tpu.data.loader import DataLoader
+    from vision3d_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from vision3d_tpu.training.checkpoint import maybe_resume, save_checkpoint
+    from vision3d_tpu.training.metrics import JsonlWriter, MetricLogger, StdoutWriter
+    from vision3d_tpu.training.train import create_train_state, make_train_step
+
+    cfg = Config.from_yaml(args.config) if args.config else Config()
+    overrides = {}
+    if args.epochs:
+        overrides["epochs"] = args.epochs
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.ckpt_dir:
+        overrides["ckpt_dir"] = args.ckpt_dir
+    if overrides:
+        cfg = cfg.replace(train=cfg.train.__class__(
+            **{**cfg.train.__dict__, **overrides}))
+
+    dataset = KittiDatasetTrain(cfg, rng=np.random.default_rng(args.seed))
+    loader = DataLoader(dataset, cfg, seed=args.seed)
+    steps_per_epoch = len(loader)
+
+    model, tx, state = create_train_state(
+        cfg, jax.random.PRNGKey(args.seed), steps_per_epoch
+    )
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = maybe_resume(cfg.train.ckpt_dir, state)
+
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    step_fn = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+    logger = MetricLogger(
+        writers=[StdoutWriter(), JsonlWriter(args.metrics_jsonl)]
+    )
+
+    step = int(jax.device_get(state.step))
+    for epoch in range(start_epoch, cfg.train.epochs):
+        for batch in loader:
+            batch.pop("frame_idx", None)
+            batch = shard_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()}, mesh
+            )
+            state, losses = step_fn(state, batch)
+            step += 1
+            logger.update(step, losses)
+        if epoch % cfg.train.ckpt_interval_epochs == 0 or epoch == cfg.train.epochs - 1:
+            path = save_checkpoint(cfg.train.ckpt_dir, state, epoch)
+            print(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()
