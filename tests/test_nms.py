@@ -89,3 +89,33 @@ def test_nms_is_jittable():
     b = jnp.asarray(np.random.default_rng(0).uniform(1, 5, (16, 5)), jnp.float32)
     s = jnp.linspace(0, 1, 16)
     assert f(b, s).shape == (16,)
+
+
+def test_fixpoint_nms_matches_sequential_many_seeds():
+    """The while_loop fixpoint formulation must equal the sequential greedy
+    scan on dense suppression chains (A kills B, B would kill C, ...)."""
+    import jax
+
+    for seed in range(12):
+        r = np.random.default_rng(seed)
+        n = 48
+        # tight clusters to force long suppression chains
+        centers = np.repeat(r.uniform(0, 10, (6, 2)), 8, axis=0)
+        boxes = np.column_stack(
+            [
+                centers + r.normal(0, 0.4, (n, 2)),
+                r.uniform(2, 4, (n, 2)),
+                r.uniform(-3, 3, (n, 1)),
+            ]
+        ).astype(np.float32)
+        scores = r.uniform(0, 1, n).astype(np.float32)
+        for thresh in (0.1, 0.3, 0.5):
+            keep = np.asarray(
+                nms_rotated(
+                    jnp.asarray(boxes), jnp.asarray(scores), iou_threshold=thresh
+                )
+            )
+            expect = greedy_nms_reference(boxes, scores, thresh)
+            np.testing.assert_array_equal(
+                np.flatnonzero(keep), expect, err_msg=f"seed={seed} t={thresh}"
+            )

@@ -55,13 +55,28 @@ def nms_rotated(
         g = group_idx[order]
         suppress &= g[:, None] == g[None, :]
     suppress &= v[:, None] & v[None, :]
+    # only strictly higher-ranked boxes can suppress (upper triangle)
+    rank = jnp.arange(k)
+    suppress &= rank[:, None] < rank[None, :]
 
-    def body(i, keep):
-        # Box i survives iff no earlier *kept* box suppresses it.
-        killed = (suppress[:, i] & keep & (jnp.arange(k) < i)).any()
-        return keep.at[i].set(keep[i] & ~killed)
+    # Exact greedy NMS as a fixpoint iteration instead of a K-step serial
+    # scan: keep' [i] = no kept higher-ranked box suppresses i. Starting
+    # from all-valid, this alternately over/under-prunes along suppression
+    # chains and converges to the unique greedy solution in at most
+    # chain-depth steps (typically 2-3) — each step one vectorized
+    # (K, K) masked reduction instead of K sequential rounds.
+    def cond(carry):
+        keep, prev, it = carry
+        return (it < k) & (keep != prev).any()
 
-    keep_sorted = jax.lax.fori_loop(0, k, body, v)
+    def step(carry):
+        keep, _, it = carry
+        killed = (suppress & keep[:, None]).any(axis=0)
+        return v & ~killed, keep, it + 1
+
+    keep0 = v
+    keep1, _, _ = step((keep0, jnp.zeros_like(v), 0))
+    keep_sorted, _, _ = jax.lax.while_loop(cond, step, (keep1, keep0, 1))
     return jnp.zeros((k,), dtype=bool).at[order].set(keep_sorted)
 
 
