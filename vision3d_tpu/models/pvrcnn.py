@@ -102,9 +102,10 @@ class PV_RCNN(nn.Module):
         keypoints = self.keypoints_of(points, num_points)
 
         vox = voxelize_batch(points, num_points, c)
-        feats = mean_vfe(vox["features"], vox["occupancy"])
-        st = from_voxels(feats, vox["coords"], vox["voxel_mask"], c.grid_shape_zyx)
-        scales, bev = self.cnn(st, train)
+        from vision3d_tpu.models.second import build_middle_input
+
+        st = build_middle_input(c, vox)
+        scales, bev = self.cnn(st, train, need_scales=True)
         bev = self.rpn(bev, train)
         cls_map, reg_map = self.head(bev)
 

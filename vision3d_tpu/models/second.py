@@ -22,7 +22,23 @@ from vision3d_tpu.config import Config
 from vision3d_tpu.core.voxelize import mean_vfe, voxelize_batch
 from vision3d_tpu.models.head import Detections, ProposalHead, head_inference
 from vision3d_tpu.models.rpn import RPN
-from vision3d_tpu.models.sparse_cnn import CNN_FACTORY, from_voxels
+from vision3d_tpu.models.sparse_cnn import (
+    CNN_FACTORY,
+    from_voxels,
+    from_voxels_columns,
+)
+
+
+def build_middle_input(cfg: Config, vox):
+    """Voxelizer output -> the configured sparse representation."""
+    feats = mean_vfe(vox["features"], vox["occupancy"])
+    if cfg.sparse_backend == "column":
+        return from_voxels_columns(
+            feats, vox["coords"], vox["voxel_mask"], cfg.grid_shape_zyx,
+            cfg.max_voxels,
+        )
+    return from_voxels(feats, vox["coords"], vox["voxel_mask"],
+                       cfg.grid_shape_zyx)
 
 
 class Second(nn.Module):
@@ -36,10 +52,8 @@ class Second(nn.Module):
     def feature_extract(self, points, num_points, train: bool):
         """points (B, P, C), num_points (B,) -> BEV features (B, ny, nx, C)."""
         vox = voxelize_batch(points, num_points, self.cfg)
-        feats = mean_vfe(vox["features"], vox["occupancy"])
-        st = from_voxels(feats, vox["coords"], vox["voxel_mask"],
-                         self.cfg.grid_shape_zyx)
-        _, bev = self.cnn(st, train)
+        st = build_middle_input(self.cfg, vox)
+        _, bev = self.cnn(st, train, need_scales=False)
         return self.rpn(bev, train)
 
     def __call__(self, points, num_points, train: bool = False):

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vision3d_tpu.config import Config
+from vision3d_tpu.ops import column_sparse as csp
 from vision3d_tpu.ops import sparse as sp
 
 
@@ -42,11 +43,38 @@ class SparseTensor:
         )
 
 
+@flax.struct.dataclass
+class ColumnTensor:
+    """Batched column-sparse tensor: sparse in BEV, dense in z
+    (ops/column_sparse.py) — the TPU fast path for SECOND's middle CNN."""
+
+    feats: jax.Array     # (B, Ncol, D, C)
+    zmask: jax.Array     # (B, Ncol, D)
+    keys: jax.Array      # (B, Ncol) sorted BEV keys (y * W + x)
+    mask: jax.Array      # (B, Ncol)
+    grid: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
+
+    def to_voxel_sparse(self, cap: int) -> SparseTensor:
+        f, k, m = jax.vmap(
+            lambda f_, z, kk, cm: csp.columns_to_voxels(
+                f_, z, kk, cm, self.grid, cap
+            )
+        )(self.feats, self.zmask, self.keys, self.mask)
+        return SparseTensor(feats=f, keys=k, mask=m, grid=self.grid)
+
+
 def from_voxels(feats, coords, mask, grid) -> SparseTensor:
     f, k, m = jax.vmap(lambda f, c, v: sp.make_sorted(f, c, v, grid))(
         feats, coords, mask
     )
     return SparseTensor(feats=f, keys=k, mask=m, grid=grid)
+
+
+def from_voxels_columns(feats, coords, mask, grid, ncol_cap: int) -> ColumnTensor:
+    f, z, k, m = jax.vmap(
+        lambda f_, c, v: csp.columns_from_voxels(f_, c, v, grid, ncol_cap)
+    )(feats, coords, mask)
+    return ColumnTensor(feats=f, zmask=z, keys=k, mask=m, grid=grid)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -94,7 +122,7 @@ class SubMConv(nn.Module):
     kernel: Tuple[int, int, int] = (3, 3, 3)
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
+    def __call__(self, st, train: bool):
         k = int(np.prod(self.kernel))
         cin = st.feats.shape[-1]
         pad = tuple(s // 2 for s in self.kernel)
@@ -103,6 +131,17 @@ class SubMConv(nn.Module):
             nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
             (k * cin, self.features),
         )
+        if isinstance(st, ColumnTensor):
+            out, _ = jax.vmap(
+                lambda f, z, kk, m: csp.column_conv(
+                    f, z, kk, m, w, st.grid, self.kernel, (1, 1, 1), pad
+                )
+            )(st.feats, st.zmask, st.keys, st.mask)
+            b, ncol, d, c = out.shape
+            site_mask = (st.zmask & st.mask[..., None]).reshape(b, ncol * d)
+            out = MaskedBatchNorm()(out.reshape(b, ncol * d, c), site_mask, train)
+            out = jnp.where(site_mask[..., None], nn.relu(out), 0.0)
+            return st.replace(feats=out.reshape(b, ncol, d, c))
         out = jax.vmap(
             lambda f, kk, m: sp.sparse_conv_apply(
                 f, kk, m, w, st.grid, self.kernel, (1, 1, 1), pad
@@ -123,7 +162,7 @@ class SparseConvDown(nn.Module):
     out_cap: int
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
+    def __call__(self, st, train: bool):
         k = int(np.prod(self.kernel))
         cin = st.feats.shape[-1]
         out_grid = sp.out_grid_shape(st.grid, self.kernel, self.stride, self.pad)
@@ -132,6 +171,34 @@ class SparseConvDown(nn.Module):
             nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
             (k * cin, self.features),
         )
+
+        if isinstance(st, ColumnTensor):
+            kyx = (self.kernel[1], self.kernel[2])
+            syx = (self.stride[1], self.stride[2])
+            pyx = (self.pad[1], self.pad[2])
+            out_hw = (out_grid[1], out_grid[2])
+
+            def one_col(f, z, kk, m):
+                ok, om = csp.downsample_bev_columns(
+                    kk, m, st.grid, kyx, syx, pyx, self.out_cap, out_hw
+                )
+                of, oz = csp.column_conv(
+                    f, z, kk, m, w, st.grid, self.kernel, self.stride,
+                    self.pad, out_keys=ok, out_mask=om, out_grid=out_grid,
+                )
+                return of, oz, ok, om
+
+            of, oz, ok, om = jax.vmap(one_col)(
+                st.feats, st.zmask, st.keys, st.mask
+            )
+            b, ncol, d, c = of.shape
+            site_mask = (oz & om[..., None]).reshape(b, ncol * d)
+            of = MaskedBatchNorm()(of.reshape(b, ncol * d, c), site_mask, train)
+            of = jnp.where(site_mask[..., None], nn.relu(of), 0.0)
+            return ColumnTensor(
+                feats=of.reshape(b, ncol, d, c), zmask=oz, keys=ok, mask=om,
+                grid=out_grid,
+            )
 
         def one(f, kk, m):
             ok, om = sp.downsample_active_set(
@@ -149,12 +216,16 @@ class SparseConvDown(nn.Module):
         return SparseTensor(feats=of, keys=ok, mask=om, grid=out_grid)
 
 
-def to_bev(st: SparseTensor) -> jax.Array:
+def to_bev(st) -> jax.Array:
     """Collapse z: sparse (D, H, W, C) -> dense BEV (B, H, W, C*D).
 
     Channel flattening is c-major over (C, D) to mirror the reference's
     ``view(N, C*D, H, W)`` on an NCDHW dense tensor (sparse_cnn.py:128-133).
     """
+    if isinstance(st, ColumnTensor):
+        return jax.vmap(
+            lambda f, z, k, m: csp.columns_to_bev(f, z, k, m, st.grid)
+        )(st.feats, st.zmask, st.keys, st.mask)
     dense = jax.vmap(lambda f, k, m: sp.to_dense(f, k, m, st.grid))(
         st.feats, st.keys, st.mask
     )  # (B, D, H, W, C)
@@ -198,8 +269,13 @@ class SpMiddleFHD(nn.Module):
         ]
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool = False):
-        """Returns (multiscale [stride-1, 2, 4, 8 SparseTensors], bev map)."""
+    def __call__(self, st, train: bool = False, need_scales: bool = True):
+        """Returns (multiscale [stride-1, 2, 4, 8 tensors], bev map).
+
+        Works on either representation; with ColumnTensor input the
+        multiscale outputs are converted to voxel-sparse form (as needed
+        by PV-RCNN's set abstraction) only when ``need_scales``.
+        """
         scales = [st]
         x = st
         for subm_channels, down in self.block_specs():
@@ -208,7 +284,13 @@ class SpMiddleFHD(nn.Module):
             x = SparseConvDown(**down)(x, train)
             scales.append(x)
         bev = to_bev(scales[-1])
-        return scales[:-1], bev
+        scales = scales[:-1]
+        if not need_scales:
+            return None, bev
+        if isinstance(st, ColumnTensor):
+            caps = [self.cfg.stage_voxel_capacity(i) for i in range(len(scales))]
+            scales = [s.to_voxel_sparse(c) for s, c in zip(scales, caps)]
+        return scales, bev
 
 
 class SpMiddleFHDLite(SpMiddleFHD):
