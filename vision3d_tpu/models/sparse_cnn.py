@@ -120,6 +120,7 @@ class SubMConv(nn.Module):
 
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, st, train: bool):
@@ -132,9 +133,11 @@ class SubMConv(nn.Module):
             (k * cin, self.features),
         )
         if isinstance(st, ColumnTensor):
+            cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
             out, _ = jax.vmap(
                 lambda f, z, kk, m: csp.column_conv(
-                    f, z, kk, m, w, st.grid, self.kernel, (1, 1, 1), pad
+                    f, z, kk, m, w, st.grid, self.kernel, (1, 1, 1), pad,
+                    compute_dtype=cdt,
                 )
             )(st.feats, st.zmask, st.keys, st.mask)
             b, ncol, d, c = out.shape
@@ -160,6 +163,7 @@ class SparseConvDown(nn.Module):
     stride: Tuple[int, int, int]
     pad: Tuple[int, int, int]
     out_cap: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, st, train: bool):
@@ -182,9 +186,11 @@ class SparseConvDown(nn.Module):
                 ok, om = csp.downsample_bev_columns(
                     kk, m, st.grid, kyx, syx, pyx, self.out_cap, out_hw
                 )
+                cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
                 of, oz = csp.column_conv(
                     f, z, kk, m, w, st.grid, self.kernel, self.stride,
                     self.pad, out_keys=ok, out_mask=om, out_grid=out_grid,
+                    compute_dtype=cdt,
                 )
                 return of, oz, ok, om
 
@@ -278,10 +284,11 @@ class SpMiddleFHD(nn.Module):
         """
         scales = [st]
         x = st
+        dt = self.cfg.compute_dtype
         for subm_channels, down in self.block_specs():
             for ch in subm_channels:
-                x = SubMConv(features=ch)(x, train)
-            x = SparseConvDown(**down)(x, train)
+                x = SubMConv(features=ch, dtype=dt)(x, train)
+            x = SparseConvDown(dtype=dt, **down)(x, train)
             scales.append(x)
         bev = to_bev(scales[-1])
         scales = scales[:-1]

@@ -70,15 +70,9 @@ def _bev_offsets(ky, kx):
     ).reshape(-1, 2)
 
 
-def gather_bev_neighbors(col_feats, zmask, col_keys, col_mask, grid,
-                         kernel_yx, stride_yx=(1, 1), pad_yx=(0, 0),
-                         out_keys=None, out_mask=None, out_grid_hw=None):
-    """Gather the (ky*kx) BEV-neighbor columns of every (output) column.
-
-    Returns (g_feats (Ncol_out, K2, D, C), g_zmask (Ncol_out, K2, D)).
-    For submanifold use out_keys=None (outputs == inputs).
-    """
-    d = col_feats.shape[1]
+def _neighbor_idx(col_keys, col_mask, grid, kernel_yx, stride_yx, pad_yx,
+                  out_keys, out_mask, out_grid_hw):
+    """(K2, Ncol_out) input-column index per BEV offset + found mask."""
     h, w = grid[1], grid[2]
     if out_keys is None:
         out_keys, out_mask = col_keys, col_mask
@@ -92,29 +86,10 @@ def gather_bev_neighbors(col_feats, zmask, col_keys, col_mask, grid,
     nx = ox[None, :] * stride_yx[1] - pad_yx[1] + jnp.asarray(offs)[:, 1:2]
     ok = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w) & out_mask[None, :]
     nkey = jnp.where(ok, ny * w + nx, bev_sentinel(grid))
-
     idx = jnp.searchsorted(col_keys, nkey.reshape(-1), method="sort")
     idx = jnp.minimum(idx, col_keys.shape[0] - 1).reshape(nkey.shape)
     found = (jnp.take(col_keys, idx) == nkey) & ok
-
-    flat = col_feats.reshape(col_feats.shape[0], -1)  # (Ncol, D*C) big rows
-    g = jnp.take(flat, idx, axis=0).reshape(idx.shape + col_feats.shape[1:])
-    g = jnp.where(found[..., None, None], g, 0.0)
-    gz = jnp.take(zmask, idx, axis=0) & found[..., None]
-    # (K2, Ncol_out, D, C) -> (Ncol_out, K2, D, C)
-    return jnp.moveaxis(g, 0, 1), jnp.moveaxis(gz, 0, 1)
-
-
-def _z_windows(g, kz, sz, pz, d_out):
-    """(Ncol, K2, D, C) -> (Ncol, d_out, kz, K2, C) via static strided slices."""
-    if pz:
-        g = jnp.pad(g, ((0, 0), (0, 0), (pz, pz), (0, 0)))
-    views = []
-    for dz in range(kz):
-        end = dz + (d_out - 1) * sz + 1
-        views.append(g[:, :, dz:end:sz, :])  # (Ncol, K2, d_out, C)
-    w = jnp.stack(views, axis=2)             # (Ncol, K2, kz, d_out, C)
-    return jnp.transpose(w, (0, 3, 2, 1, 4))  # (Ncol, d_out, kz, K2, C)
+    return idx, found
 
 
 def column_conv(col_feats, zmask, col_keys, col_mask, weight, grid, kernel,
@@ -122,37 +97,64 @@ def column_conv(col_feats, zmask, col_keys, col_mask, weight, grid, kernel,
                 out_grid=None, compute_dtype=jnp.float32):
     """Generic column conv. weight (kz*ky*kx*Cin, Cout), K-order (dz,dy,dx).
 
-    Returns (out_feats (Ncol_out, D_out, Cout), out_zmask)."""
+    Accumulates one GEMM per BEV offset — the per-offset gathered column
+    block (Ncol, D, C) plus its kz z-shifted views (Ncol, D_out, kz*C) are
+    the only transients, instead of a full (Ncol, D_out, kz*K2*C) im2col
+    (which at stage 0 of the full KITTI grid would be GBs and turn the
+    layer bandwidth-bound). The z contraction folds into the GEMM K-dim
+    (kz*C) so the MXU sees reasonably deep contractions even at C=16.
+
+    Returns (out_feats (Ncol_out, D_out, Cout), out_zmask).
+    """
     kz, ky, kx = kernel
-    sz = stride[0]
-    pz = pad[0]
-    d = col_feats.shape[1]
-    c = col_feats.shape[2]
+    sz, pz = stride[0], pad[0]
+    d, c = col_feats.shape[1], col_feats.shape[2]
     subm = out_keys is None
     og = grid if subm else out_grid
-    d_out = og[0] if not subm else d
+    d_out = d if subm else og[0]
+    cout = weight.shape[1]
 
-    g, gz = gather_bev_neighbors(
-        col_feats, zmask, col_keys, col_mask, grid, (ky, kx),
-        (stride[1], stride[2]), (pad[1], pad[2]),
-        out_keys, out_mask, None if subm else (og[1], og[2]),
+    idx, found = _neighbor_idx(
+        col_keys, col_mask, grid, (ky, kx), (stride[1], stride[2]),
+        (pad[1], pad[2]), out_keys, out_mask,
+        None if subm else (og[1], og[2]),
     )
-    # windows: (Ncol, d_out, kz, K2, C) -> GEMM over (kz*K2*C)
-    win = _z_windows(g, kz, sz, pz, d_out)
-    ncol = win.shape[0]
-    cols = win.reshape(ncol * d_out, kz * ky * kx * c).astype(compute_dtype)
-    out = jnp.dot(cols, weight.astype(compute_dtype),
-                  preferred_element_type=jnp.float32)
-    out = out.reshape(ncol, d_out, -1)
+    ncol = idx.shape[1]
+    # weight reorganized per BEV offset: (K2, kz*C, Cout)
+    w_all = weight.reshape(kz, ky * kx, c, cout).transpose(1, 0, 2, 3)
+    w_all = w_all.reshape(ky * kx, kz * c, cout).astype(compute_dtype)
 
+    flat = col_feats.reshape(col_feats.shape[0], -1).astype(compute_dtype)
+    zmask_f = zmask
+
+    def window(g, pz_, kz_, sz_, d_out_):
+        if pz_:
+            g = jnp.pad(g, ((0, 0), (pz_, pz_), (0, 0)))
+        views = [
+            g[:, dz : dz + (d_out_ - 1) * sz_ + 1 : sz_, :] for dz in range(kz_)
+        ]
+        return jnp.concatenate(views, axis=-1)  # (Ncol, d_out, kz*C)
+
+    out = jnp.zeros((ncol * d_out, cout), jnp.float32)
+    zacc = jnp.zeros((ncol, d_out), bool) if not subm else None
+    for k2 in range(ky * kx):
+        g = jnp.take(flat, idx[k2], axis=0).reshape(ncol, d, c)
+        g = jnp.where(found[k2][:, None, None], g, 0.0)
+        win = window(g, pz, kz, sz, d_out)
+        out = out + jnp.dot(
+            win.reshape(ncol * d_out, kz * c), w_all[k2],
+            preferred_element_type=jnp.float32,
+        )
+        if not subm:
+            gz = jnp.take(zmask_f, idx[k2], axis=0) & found[k2][:, None]
+            zwin = window(gz[..., None].astype(jnp.float32), pz, kz, sz, d_out)
+            zacc = zacc | (zwin.sum(-1) > 0)
+
+    out = out.reshape(ncol, d_out, cout)
     if subm:
-        new_zmask = zmask
-        m = col_mask
+        new_zmask = zmask & col_mask[:, None]
     else:
-        zwin = _z_windows(gz[..., None].astype(jnp.float32), kz, sz, pz, d_out)
-        new_zmask = zwin.reshape(ncol, d_out, -1).sum(-1) > 0
-        m = out_mask
-    new_zmask &= m[:, None]
+        new_zmask = zacc & out_mask[:, None]
     out = jnp.where(new_zmask[..., None], out, 0.0)
     return out, new_zmask
 
