@@ -88,3 +88,45 @@ def test_train_step_sharded_8dev(tiny_cfg):
     # grads were all-reduced: params stay replicated and identical
     leaf = jax.tree_util.tree_leaves(state2.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_pvrcnn_two_stage_train_step():
+    """One PV-RCNN two-stage step: finite joint loss, all grads flow."""
+    from vision3d_tpu.config import Config
+    from vision3d_tpu.training.train import (
+        create_pvrcnn_train_state,
+        make_pvrcnn_train_step,
+    )
+
+    cfg = Config()
+    cfg = cfg.replace(
+        max_voxels=256,
+        voxel_size=(0.4, 0.4, 0.1),
+        grid_bounds=(0.0, -12.8, -3.0, 25.6, 12.8, 1.0),
+        num_classes=1,
+        num_keypoints=32,
+        anchors=cfg.anchors[:1],
+        capacity=cfg.capacity.__class__(max_points=512, max_gt_boxes=8),
+        proposal=cfg.proposal.__class__(c_in=128, topk=8),
+        gridpool=cfg.gridpool.__class__(
+            num_gridpoints=4,
+            radii_pn=(0.8, 1.6),
+            mlps_pn=((512, 32, 16), (512, 32, 16)),
+            mlps_reduction=(4 * 32, 32, 32),
+        ),
+        refinement=cfg.refinement.__class__(mlps=(32, 16)),
+    )
+    rng = np.random.default_rng(0)
+    batch = synthetic_train_batch(cfg, rng, batch=1, n=256)
+    model, tx, state = create_pvrcnn_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=10,
+        example_batch=(batch["points"], batch["num_points"]),
+    )
+    step = jax.jit(make_pvrcnn_train_step(model, tx, cfg))
+    state2, losses = step(state, batch)
+    for k in ["loss", "cls_loss", "reg_loss", "refine_cls_loss", "refine_reg_loss"]:
+        assert np.isfinite(float(losses[k])), k
+    # refinement params actually updated
+    p0 = jax.tree_util.tree_leaves(state.params["refinement"])[0]
+    p1 = jax.tree_util.tree_leaves(state2.params["refinement"])[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))

@@ -109,3 +109,76 @@ def make_train_step(model: Second, tx, cfg: Config, anchors=None):
         return new_state, losses
 
     return train_step
+
+
+def make_pvrcnn_train_step(model, tx, cfg: Config, anchors=None,
+                           train_stage2: bool = True):
+    """Two-stage PV-RCNN train step: stage-1 proposal loss (identical to
+    SECOND's) plus the completed refinement loss (models/refinement.py) on
+    RoI-pooled proposals. The reference can only train its proposal stage
+    (SURVEY: training.md:4, model.py:84-85); stage-2 training is part of
+    this framework's completion of PV-RCNN.
+    """
+    from vision3d_tpu.models.pvrcnn import PV_RCNN
+    from vision3d_tpu.models.refinement import refinement_loss
+
+    if anchors is None:
+        anchors = jnp.asarray(make_anchors(cfg))
+
+    def loss_fn(params, batch_stats, batch, targets, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train_stage2:
+            out, mutated = model.apply(
+                variables, batch["points"], batch["num_points"], anchors, rng,
+                train=True, mutable=["batch_stats"], method=PV_RCNN.two_stage,
+            )
+            losses = proposal_loss(out["cls_map"], out["reg_map"], targets, cfg)
+            rl = refinement_loss(
+                out["box_deltas"], out["conf_logits"], out["proposals"],
+                jnp.ones(out["proposals"].shape[:2], bool),
+                batch["boxes"], batch["gt_mask"], cfg,
+            )
+            losses.update(rl)
+            losses["loss"] = losses["loss"] + rl["refine_loss"]
+        else:
+            (cls_map, reg_map), mutated = model.apply(
+                variables, batch["points"], batch["num_points"], train=True,
+                mutable=["batch_stats"],
+            )
+            losses = proposal_loss(cls_map, reg_map, targets, cfg)
+        return losses["loss"], (losses, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch):
+        targets = assign_targets_batch(
+            batch["boxes"], batch["class_idx"], batch["gt_mask"],
+            batch["box_ignore"], anchors, cfg,
+        )
+        targets = jax.lax.stop_gradient(targets)
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (losses, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, targets, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(
+            params=params, batch_stats=new_stats, opt_state=opt_state,
+            step=state.step + 1,
+        ), losses
+
+    return train_step
+
+
+def create_pvrcnn_train_state(cfg: Config, rng, steps_per_epoch: int = 1000,
+                              example_batch=None, two_stage: bool = True):
+    from vision3d_tpu.models.pvrcnn import create_pvrcnn
+
+    model, variables = create_pvrcnn(cfg, rng, example_batch, two_stage)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return model, tx, state
