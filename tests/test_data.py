@@ -222,3 +222,39 @@ def test_sample_augmentation_paste(kitti_tree):
         iou = np_pairwise_rotated_iou(b[:, [0, 1, 3, 4, 6]], b[:, [0, 1, 3, 4, 6]])
         off_diag = iou - np.diag(np.diag(iou))
         assert (off_diag <= 1e-2).all()
+
+
+def test_preprocessor_facade(rng):
+    from vision3d_tpu.core.preprocess import Preprocessor, TrainPreprocessor
+
+    cfg = Config().replace(
+        capacity=Config().capacity.__class__(max_points=256, max_gt_boxes=8)
+    )
+    pre = Preprocessor(cfg, seed=0)
+    pts = [rng.normal(size=(100, 4)).astype(np.float32),
+           rng.normal(size=(50, 4)).astype(np.float32)]
+    out = pre(dict(points=pts, anchors="passthrough"))
+    assert out["points"].shape == (2, 256, 4)
+    assert list(out["num_points"]) == [100, 50]
+    assert out["batch_size"] == 2
+    assert out["anchors"] == "passthrough"
+
+    # host voxelization path (native or numpy)
+    lo = np.asarray(cfg.grid_bounds[:3]); hi = np.asarray(cfg.grid_bounds[3:])
+    cloud = np.concatenate(
+        [rng.uniform(lo, hi, (500, 3)), rng.uniform(0, 1, (500, 1))], 1
+    ).astype(np.float32)
+    f, c, o = pre.voxelize_host(cloud)
+    assert f.shape[1:] == (cfg.max_occupancy, 4)
+    assert (o >= 1).all()
+
+    tp = TrainPreprocessor(cfg, seed=0)
+    items = [
+        dict(points=pts[0], boxes=np.zeros((2, 7), np.float32),
+             class_idx=np.zeros(2, np.int64), idx=7),
+        dict(points=pts[1], boxes=np.zeros((1, 7), np.float32),
+             class_idx=np.zeros(1, np.int64), idx=8),
+    ]
+    batch = tp.collate(items)
+    assert batch["points"].shape == (2, 256, 4)
+    assert batch["gt_mask"].sum() == 3

@@ -1,14 +1,13 @@
 """Pallas TPU row-gather kernel.
 
-XLA's GatherOp runs on the TPU scalar core (~1 element/cycle), which makes
-the sparse-conv im2col gather (540k rows x C per layer at full KITTI
-scale) the dominant cost of the whole detector. This kernel keeps the
-gather table resident in VMEM, DMAs each tile of indices into SMEM, and
-copies rows with dynamic sublane slices — turning an HBM-scalar-core
-bottleneck into a VMEM-local loop.
+XLA's GatherOp executes irregular row gathers on the TPU scalar core,
+which makes the sparse-conv im2col gather (540k rows x C per layer at
+full KITTI scale) the dominant cost of the whole detector. This kernel
+keeps the gather table resident in VMEM and streams index tiles through
+SMEM, copying rows with dynamic sublane slices — a VMEM-local loop
+instead of an HBM scalar-core walk.
 
-Used by vision3d_tpu/ops/sparse.py when enabled; falls back to jnp.take
-off-TPU (interpret mode keeps CPU tests exact).
+Falls back to jnp.take off-TPU; interpret mode keeps CPU tests exact.
 """
 
 import functools
@@ -19,44 +18,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gather_kernel(idx_ref, table_ref, out_ref, scratch_idx, sem):
+def _gather_kernel(idx_ref, table_ref, out_ref):
     t = out_ref.shape[0]
-    # DMA this tile's indices from (VMEM) into SMEM for scalar addressing
-    cp = pltpu.make_async_copy(idx_ref, scratch_idx, sem)
-    cp.start()
-    cp.wait()
 
     def body(j, _):
-        i = scratch_idx[j]
+        i = idx_ref[0, j]
         out_ref[pl.ds(j, 1), :] = table_ref[pl.ds(i, 1), :]
         return 0
 
-    jax.lax.fori_loop(0, t, body, 0)
+    jax.lax.fori_loop(0, t, body, 0, unroll=8)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def gather_rows(table, idx, tile: int = 1024, interpret: bool = False):
+def gather_rows(table, idx, tile: int = 2048, interpret: bool = False):
     """out[i] = table[idx[i]] — (N, C) table, (Q,) int32 idx -> (Q, C).
 
-    idx must be in [0, N). Q must be a multiple of ``tile`` (callers pad).
+    idx must be in [0, N). Q is padded up to a multiple of ``tile``
+    internally; callers receive exactly (Q, C).
     """
     q = idx.shape[0]
     n, c = table.shape
-    assert q % tile == 0, (q, tile)
-    grid = (q // tile,)
-    return pl.pallas_call(
+    pad = (-q) % tile
+    idx_p = jnp.pad(idx, (0, pad)).reshape(-1, tile)
+    grid = (idx_p.shape[0],)
+    out = pl.pallas_call(
         _gather_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.ANY),
+            pl.BlockSpec((1, tile), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((n, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((q, c), table.dtype),
-        scratch_shapes=[
-            pltpu.SMEM((tile,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_shape=jax.ShapeDtypeStruct((q + pad, c), table.dtype),
         interpret=interpret,
-    )(idx, table)
+    )(idx_p, table)
+    return out[:q]
