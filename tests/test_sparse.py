@@ -117,3 +117,39 @@ def test_keys_roundtrip():
     keys = sp.coords_to_keys(coords, grid)
     back = sp.keys_to_coords(keys, grid)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(coords))
+
+
+def test_batched_gather_matches_per_sample(rng):
+    """gather_neighbors_batched == vmapped gather_neighbors (modulo the
+    K-axis layout) for subm and strided variants."""
+    import jax
+
+    grid, cap, cin = (6, 10, 8), 96, 5
+    tensors = [random_sparse(rng, grid, 64, cap, cin) for _ in range(3)]
+    f = jnp.stack([sp.make_sorted(*t, grid)[0] for t in tensors])
+    k = jnp.stack([sp.make_sorted(*t, grid)[1] for t in tensors])
+    m = jnp.stack([sp.make_sorted(*t, grid)[2] for t in tensors])
+
+    # subm
+    ref = jax.vmap(
+        lambda a, b, c: sp.gather_neighbors(a, b, c, grid, (3, 3, 3),
+                                            (1, 1, 1), (1, 1, 1))
+    )(f, k, m)
+    got = sp.gather_neighbors_batched(f, k, m, grid, (3, 3, 3), (1, 1, 1),
+                                      (1, 1, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+    # strided
+    kernel, stride, pad = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+    og = sp.out_grid_shape(grid, kernel, stride, pad)
+    ok, om = jax.vmap(
+        lambda b, c: sp.downsample_active_set(b, c, grid, kernel, stride,
+                                              pad, cap)
+    )(k, m)
+    ref = jax.vmap(
+        lambda a, b, c, o1, o2: sp.gather_neighbors(
+            a, b, c, og, kernel, stride, pad, o1, o2, grid)
+    )(f, k, m, ok, om)
+    got = sp.gather_neighbors_batched(f, k, m, og, kernel, stride, pad,
+                                      ok, om, grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)

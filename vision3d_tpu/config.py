@@ -174,11 +174,11 @@ class Config:
     grid_bounds: tuple = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
 
     cnn: str = "SpMiddleFHD"
-    # Middle-extractor representation: "column" (sparse BEV x dense z — the
-    # TPU fast path; KITTI z-extents are tiny so columns turn the 27-way
-    # voxel gather into 9 large-row gathers + MXU z-windows) or "voxel"
-    # (per-voxel rulebook; the reference-shaped semantics baseline).
-    sparse_backend: str = "column"
+    # Middle-extractor representation: "voxel" (per-voxel sorted-key
+    # rulebooks with batched flat gathers — fastest measured on TPU for
+    # KITTI's thin-z occupancy) or "column" (sparse BEV x dense z;
+    # competitive when z-occupancy is high).
+    sparse_backend: str = "voxel"
 
     anchors: tuple = (
         AnchorConfig(),

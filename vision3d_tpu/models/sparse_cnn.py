@@ -145,11 +145,11 @@ class SubMConv(nn.Module):
             out = MaskedBatchNorm()(out.reshape(b, ncol * d, c), site_mask, train)
             out = jnp.where(site_mask[..., None], nn.relu(out), 0.0)
             return st.replace(feats=out.reshape(b, ncol, d, c))
-        out = jax.vmap(
-            lambda f, kk, m: sp.sparse_conv_apply(
-                f, kk, m, w, st.grid, self.kernel, (1, 1, 1), pad
-            )
-        )(st.feats, st.keys, st.mask)
+        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        out = sp.sparse_conv_apply_batched(
+            st.feats, st.keys, st.mask, w, st.grid, self.kernel, (1, 1, 1),
+            pad, compute_dtype=cdt,
+        )
         out = MaskedBatchNorm()(out, st.mask, train)
         out = jnp.where(st.mask[..., None], nn.relu(out), 0.0)
         return st.replace(feats=out)
@@ -206,17 +206,17 @@ class SparseConvDown(nn.Module):
                 grid=out_grid,
             )
 
-        def one(f, kk, m):
-            ok, om = sp.downsample_active_set(
+        ok, om = jax.vmap(
+            lambda kk, m: sp.downsample_active_set(
                 kk, m, st.grid, self.kernel, self.stride, self.pad, self.out_cap
             )
-            of = sp.sparse_conv_apply(
-                f, kk, m, w, out_grid, self.kernel, self.stride, self.pad,
-                out_keys=ok, out_mask=om, in_grid=st.grid,
-            )
-            return of, ok, om
-
-        of, ok, om = jax.vmap(one)(st.feats, st.keys, st.mask)
+        )(st.keys, st.mask)
+        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        of = sp.sparse_conv_apply_batched(
+            st.feats, st.keys, st.mask, w, out_grid, self.kernel, self.stride,
+            self.pad, out_keys=ok, out_mask=om, in_grid=st.grid,
+            compute_dtype=cdt,
+        )
         of = MaskedBatchNorm()(of, om, train)
         of = jnp.where(om[..., None], nn.relu(of), 0.0)
         return SparseTensor(feats=of, keys=ok, mask=om, grid=out_grid)

@@ -178,3 +178,72 @@ def to_dense(feats, keys, mask, grid):
     idx = jnp.where(mask, keys, d * h * w)
     dense = dense.at[idx].set(jnp.where(mask[:, None], feats, 0.0), mode="drop")
     return dense[:-1].reshape(d, h, w, c)
+
+
+def gather_neighbors_batched(feats, keys, mask, grid, kernel,
+                             stride=(1, 1, 1), pad=(0, 0, 0), out_keys=None,
+                             out_mask=None, in_grid=None):
+    """Batched im2col gather with a single FLAT feature gather.
+
+    vmapping the per-sample gather makes XLA lower a batched GatherOp that
+    runs ~4x slower than a flat one at KITTI scale; here only the (cheap)
+    key search is vmapped and features are fetched with one
+    (B*N_out*K,)-index take from the (B*N, C)-flattened table. The K axis
+    is laid out minor so no transpose is needed before the GEMM.
+
+    feats (B, N, C), keys (B, N) sorted. Returns (B, N_out, K, C).
+    """
+    if out_keys is None:
+        out_keys, out_mask, in_grid = keys, mask, grid
+    b, n = keys.shape
+    n_out = out_keys.shape[1]
+    # output coords decode against ``grid`` (the OUTPUT grid for strided
+    # calls, matching gather_neighbors' convention)
+    d, h, w = grid
+    ok = jnp.where(out_mask, out_keys, 0)
+    oz = ok // (h * w)
+    oy = (ok // w) % h
+    ox = ok % w
+    coords = jnp.stack([oz, oy, ox], axis=-1)  # (B, N_out, 3)
+
+    offs = jnp.asarray(_kernel_offsets(kernel))          # (K, 3)
+    stride_a = jnp.asarray(stride, jnp.int32)
+    pad_a = jnp.asarray(pad, jnp.int32)
+    dims = jnp.asarray(in_grid, jnp.int32)
+    nbr = coords[:, :, None, :] * stride_a - pad_a + offs[None, None]
+    in_bounds = ((nbr >= 0) & (nbr < dims)).all(-1) & out_mask[:, :, None]
+    di, hi, wi = in_grid
+    nkey = (nbr[..., 0] * hi + nbr[..., 1]) * wi + nbr[..., 2]
+    nkey = jnp.where(in_bounds, nkey, sentinel_key(in_grid))  # (B, N_out, K)
+
+    idx = jax.vmap(lambda k_, q: jnp.searchsorted(k_, q, method="sort"))(
+        keys, nkey.reshape(b, -1)
+    )
+    idx = jnp.minimum(idx, n - 1)
+    found = (jnp.take_along_axis(keys, idx, axis=1) == nkey.reshape(b, -1))
+    found &= nkey.reshape(b, -1) < sentinel_key(in_grid)
+
+    flat_idx = (idx + jnp.arange(b, dtype=idx.dtype)[:, None] * n).reshape(-1)
+    g = jnp.take(feats.reshape(b * n, -1), flat_idx, axis=0)
+    g = jnp.where(found.reshape(-1)[:, None], g, 0.0)
+    k = offs.shape[0]
+    return g.reshape(b, n_out, k, feats.shape[-1])
+
+
+def sparse_conv_apply_batched(feats, keys, mask, weight, grid, kernel,
+                              stride=(1, 1, 1), pad=(0, 0, 0), out_keys=None,
+                              out_mask=None, in_grid=None,
+                              compute_dtype=jnp.float32):
+    """Batched gather + one MXU GEMM. weight (K*Cin, Cout).
+
+    Returns (B, N_out, Cout)."""
+    cols = gather_neighbors_batched(
+        feats, keys, mask, grid, kernel, stride, pad, out_keys, out_mask,
+        in_grid,
+    )
+    b, n_out = cols.shape[:2]
+    cols = cols.reshape(b * n_out, -1).astype(compute_dtype)
+    out = jnp.dot(cols, weight.astype(compute_dtype),
+                  preferred_element_type=jnp.float32).reshape(b, n_out, -1)
+    m = mask if out_keys is None else out_mask
+    return jnp.where(m[..., None], out, 0.0)
