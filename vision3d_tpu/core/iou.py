@@ -95,6 +95,11 @@ def _masked_convex_area(pts, valid, xp):
     pts (..., K, 2), valid (..., K). Orders valid points by angle about
     their mean, routes invalid slots onto a valid vertex (zero-area
     contribution), and applies the shoelace formula.
+
+    On device the ordering uses a multi-operand lax.sort carrying the
+    coordinates as payload — argsort + take_along_axis would lower to a
+    batched GatherOp that costs ~20x more than the whole area computation
+    at NMS/assignment scales.
     """
     vf = valid.astype(pts.dtype)
     n = vf.sum(axis=-1, keepdims=True)
@@ -103,12 +108,23 @@ def _masked_convex_area(pts, valid, xp):
     ang = xp.arctan2(rel[..., 1], rel[..., 0])
     big = xp.asarray(1e9, dtype=pts.dtype)
     key = xp.where(valid, ang, big)          # invalid slots sort to the end
-    order = xp.argsort(key, axis=-1)
-    pts_s = xp.take_along_axis(pts, order[..., None], axis=-2)
-    val_s = xp.take_along_axis(valid, order, axis=-1)
+
+    if xp is jnp:
+        import jax
+
+        key_s, xs, ys, val_s = jax.lax.sort(
+            (key, pts[..., 0], pts[..., 1], valid.astype(pts.dtype)),
+            dimension=-1, num_keys=1,
+        )
+        pts_s = xp.stack([xs, ys], axis=-1)
+        val_b = val_s > 0.5
+    else:
+        order = xp.argsort(key, axis=-1)
+        pts_s = xp.take_along_axis(pts, order[..., None], axis=-2)
+        val_b = xp.take_along_axis(valid, order, axis=-1)
     # Replace invalid slots with the first (valid) vertex -> degenerate edges.
     first = pts_s[..., 0:1, :]
-    pts_s = xp.where(val_s[..., None], pts_s, first)
+    pts_s = xp.where(val_b[..., None], pts_s, first)
     nxt = xp.roll(pts_s, -1, axis=-2)
     cross = pts_s[..., 0] * nxt[..., 1] - pts_s[..., 1] * nxt[..., 0]
     area = 0.5 * xp.abs(cross.sum(axis=-1))
