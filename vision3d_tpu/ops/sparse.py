@@ -180,6 +180,49 @@ def to_dense(feats, keys, mask, grid):
     return dense[:-1].reshape(d, h, w, c)
 
 
+# Dense-index lookup is used when the grid has at most this many cells;
+# the table is a transient (B * cells) int32 buffer (~370 MB/sample at the
+# full KITTI grid — cheap next to the alternative: batched sort-based
+# searchsorted measured at ~39 ms per layer-lookup vs ~3 ms for the table).
+DENSE_LOOKUP_MAX_CELLS = 128_000_000
+
+
+def lookup_keys_batched(keys, mask, queries, grid):
+    """Find each query key's row in the per-sample sorted key arrays.
+
+    keys (B, N) sorted with sentinel padding, mask (B, N),
+    queries (B, Q) with sentinel for invalid. Returns (idx (B, Q) int32 in
+    [0, N), found (B, Q) bool).
+
+    Uses a dense grid-cell -> row table (a perfect hash, the TPU analog of
+    spconv's hash rulebooks) when the grid fits, else sort-based search.
+    """
+    b, n = keys.shape
+    q = queries.shape[1]
+    s = sentinel_key(grid)
+    if b * s <= DENSE_LOOKUP_MAX_CELLS * 4:
+        table = jnp.full((b * (s + 1),), -1, jnp.int32)
+        rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+        flat_keys = jnp.where(mask, keys, s) + (
+            jnp.arange(b, dtype=jnp.int32) * (s + 1)
+        )[:, None]
+        table = table.at[flat_keys.reshape(-1)].set(
+            jnp.where(mask, rows, -1).reshape(-1), mode="drop"
+        )
+        flat_q = jnp.minimum(queries, s) + (
+            jnp.arange(b, dtype=jnp.int32) * (s + 1)
+        )[:, None]
+        vals = jnp.take(table, flat_q.reshape(-1), axis=0).reshape(b, q)
+        found = (vals >= 0) & (queries < s)
+        return jnp.maximum(vals, 0), found
+    idx = jax.vmap(lambda k_, q_: jnp.searchsorted(k_, q_, method="sort"))(
+        keys, queries
+    )
+    idx = jnp.minimum(idx, n - 1)
+    found = (jnp.take_along_axis(keys, idx, axis=1) == queries) & (queries < s)
+    return idx.astype(jnp.int32), found
+
+
 def gather_neighbors_batched(feats, keys, mask, grid, kernel,
                              stride=(1, 1, 1), pad=(0, 0, 0), out_keys=None,
                              out_mask=None, in_grid=None):
@@ -216,12 +259,7 @@ def gather_neighbors_batched(feats, keys, mask, grid, kernel,
     nkey = (nbr[..., 0] * hi + nbr[..., 1]) * wi + nbr[..., 2]
     nkey = jnp.where(in_bounds, nkey, sentinel_key(in_grid))  # (B, N_out, K)
 
-    idx = jax.vmap(lambda k_, q: jnp.searchsorted(k_, q, method="sort"))(
-        keys, nkey.reshape(b, -1)
-    )
-    idx = jnp.minimum(idx, n - 1)
-    found = (jnp.take_along_axis(keys, idx, axis=1) == nkey.reshape(b, -1))
-    found &= nkey.reshape(b, -1) < sentinel_key(in_grid)
+    idx, found = lookup_keys_batched(keys, mask, nkey.reshape(b, -1), in_grid)
 
     flat_idx = (idx + jnp.arange(b, dtype=idx.dtype)[:, None] * n).reshape(-1)
     g = jnp.take(feats.reshape(b * n, -1), flat_idx, axis=0)
