@@ -153,3 +153,29 @@ def test_batched_gather_matches_per_sample(rng):
     got = sp.gather_neighbors_batched(f, k, m, og, kernel, stride, pad,
                                       ok, om, grid)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
+def test_batched_downsample_matches_per_sample(rng):
+    import jax
+
+    grid, cap = (6, 10, 8), 96
+    tensors = [random_sparse(rng, grid, 60, cap, 2) for _ in range(3)]
+    k = jnp.stack([sp.make_sorted(*t, grid)[1] for t in tensors])
+    m = jnp.stack([sp.make_sorted(*t, grid)[2] for t in tensors])
+    for kernel, stride, pad, out_cap in [
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1), 128),
+        ((3, 1, 1), (2, 1, 1), (0, 0, 0), 64),
+        ((3, 3, 3), (2, 2, 2), (0, 1, 1), 16),  # forces truncation
+    ]:
+        ref_k, ref_m = jax.vmap(
+            lambda a, b: sp.downsample_active_set(a, b, grid, kernel, stride,
+                                                  pad, out_cap)
+        )(k, m)
+        got_k, got_m = sp.downsample_active_set_batched(
+            k, m, grid, kernel, stride, pad, out_cap
+        )
+        np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
+        np.testing.assert_array_equal(
+            np.asarray(got_k)[np.asarray(got_m)],
+            np.asarray(ref_k)[np.asarray(ref_m)],
+        )

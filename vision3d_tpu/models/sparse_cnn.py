@@ -206,11 +206,10 @@ class SparseConvDown(nn.Module):
                 grid=out_grid,
             )
 
-        ok, om = jax.vmap(
-            lambda kk, m: sp.downsample_active_set(
-                kk, m, st.grid, self.kernel, self.stride, self.pad, self.out_cap
-            )
-        )(st.keys, st.mask)
+        ok, om = sp.downsample_active_set_batched(
+            st.keys, st.mask, st.grid, self.kernel, self.stride, self.pad,
+            self.out_cap,
+        )
         cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         of = sp.sparse_conv_apply_batched(
             st.feats, st.keys, st.mask, w, out_grid, self.kernel, self.stride,
