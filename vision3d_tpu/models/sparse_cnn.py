@@ -206,10 +206,15 @@ class SparseConvDown(nn.Module):
                 grid=out_grid,
             )
 
-        ok, om = sp.downsample_active_set_batched(
-            st.keys, st.mask, st.grid, self.kernel, self.stride, self.pad,
-            self.out_cap,
-        )
+        # NOTE: the dense-grid batched variant (downsample_active_set_batched)
+        # measured far slower here — its full-output-grid scatter hits the
+        # ~6.4ns/element random-access wall (47M elements at stage 0); the
+        # per-sample 27N-candidate sort is ~8ms total for the whole batch.
+        ok, om = jax.vmap(
+            lambda kk, m: sp.downsample_active_set(
+                kk, m, st.grid, self.kernel, self.stride, self.pad, self.out_cap
+            )
+        )(st.keys, st.mask)
         cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         of = sp.sparse_conv_apply_batched(
             st.feats, st.keys, st.mask, w, out_grid, self.kernel, self.stride,

@@ -180,11 +180,11 @@ def to_dense(feats, keys, mask, grid):
     return dense[:-1].reshape(d, h, w, c)
 
 
-# Dense-index lookup is used when the grid has at most this many cells;
-# the table is a transient (B * cells) int32 buffer (~370 MB/sample at the
-# full KITTI grid — cheap next to the alternative: batched sort-based
-# searchsorted measured at ~39 ms per layer-lookup vs ~3 ms for the table).
-DENSE_LOOKUP_MAX_CELLS = 128_000_000
+# Dense-index lookup is used when the batched table has at most this many
+# cells. Measured on v5e: random gathers cost ~6.4ns/index nearly
+# independent of table size, but the table BUILD (fill+scatter) grows with
+# size (1.5GB -> ~10ms), so beyond ~200M cells the sort-based search wins.
+DENSE_LOOKUP_MAX_CELLS = 200_000_000
 
 
 def lookup_keys_batched(keys, mask, queries, grid):
@@ -200,7 +200,7 @@ def lookup_keys_batched(keys, mask, queries, grid):
     b, n = keys.shape
     q = queries.shape[1]
     s = sentinel_key(grid)
-    if b * s <= DENSE_LOOKUP_MAX_CELLS * 4:
+    if b * s <= DENSE_LOOKUP_MAX_CELLS:
         table = jnp.full((b * (s + 1),), -1, jnp.int32)
         rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
         flat_keys = jnp.where(mask, keys, s) + (
