@@ -1,0 +1,83 @@
+"""KITTI validation evaluation: run SECOND over a split, report 3D AP@R40.
+
+    python -m vision3d_tpu.eval_cli --config configs/second/car.yaml \
+        --ckpt ./ckpts/epoch_12 --split val
+
+The reference has no evaluation at all (SURVEY §6); this closes the loop
+for the Car 3D AP parity target in BASELINE.md.
+"""
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_eval(cfg, model, variables, dataset, batch_size=8, verbose=True):
+    from vision3d_tpu.core.anchors import make_anchors
+    from vision3d_tpu.data.loader import DataLoader
+    from vision3d_tpu.eval.kitti_eval import evaluate_all
+    from vision3d_tpu.models.head import extract_detections
+    from vision3d_tpu.models.second import Second
+
+    anchors = jnp.asarray(make_anchors(cfg))
+    infer = jax.jit(
+        lambda p, n: model.apply(variables, p, n, anchors, method=Second.inference)
+    )
+    loader = DataLoader(dataset, cfg, batch_size=batch_size, shuffle=False,
+                        drop_last=False)
+    detections, ground_truths = [], []
+    for batch in loader:
+        det = infer(jnp.asarray(batch["points"]), jnp.asarray(batch["num_points"]))
+        per_sample = extract_detections(det)
+        for b, d in enumerate(per_sample):
+            fi = int(batch["frame_idx"][b])
+            if fi < 0:
+                continue
+            anno = dataset.annotations[fi]
+            detections.append(d)
+            ground_truths.append(
+                dict(
+                    boxes=anno["boxes"],
+                    class_idx=np.asarray(anno["class_idx"]),
+                    levels=np.asarray(anno.get("levels", np.ones(len(anno["boxes"])))),
+                )
+            )
+    table = evaluate_all(detections, ground_truths, cfg.num_classes)
+    if verbose:
+        for c, row in table.items():
+            name = cfg.anchors[c].names[0] if c < len(cfg.anchors) else str(c)
+            print(f"{name}: " + " ".join(f"{k}={v:.2f}" for k, v in row.items()))
+    return table
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--split", default="val")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--out-json", default=None)
+    args = ap.parse_args(argv)
+
+    from vision3d_tpu.config import Config
+    from vision3d_tpu.data.kitti import KittiDataset
+    from vision3d_tpu.training.checkpoint import load_checkpoint
+    from vision3d_tpu.training.train import create_train_state
+
+    cfg = Config.from_yaml(args.config) if args.config else Config()
+    dataset = KittiDataset(cfg, split=args.split)
+    model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    if args.ckpt:
+        state = load_checkpoint(args.ckpt, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    table = run_eval(cfg, model, variables, dataset, args.batch_size)
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(table, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

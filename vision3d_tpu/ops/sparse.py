@@ -183,8 +183,9 @@ def to_dense(feats, keys, mask, grid):
 # Dense-index lookup is used when the batched table has at most this many
 # cells. Measured on v5e: random gathers cost ~6.4ns/index nearly
 # independent of table size, but the table BUILD (fill+scatter) grows with
-# size (1.5GB -> ~10ms), so beyond ~200M cells the sort-based search wins.
-DENSE_LOOKUP_MAX_CELLS = 200_000_000
+# size (1.5GB -> ~10ms); measured end-to-end the dense table still wins at
+# the full-res stage (370M cells batched), so the ceiling sits above it.
+DENSE_LOOKUP_MAX_CELLS = 400_000_000
 
 
 def lookup_keys_batched(keys, mask, queries, grid):
