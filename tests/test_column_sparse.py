@@ -158,3 +158,28 @@ def test_model_backends_agree(rng):
     np.testing.assert_allclose(
         np.asarray(bev_c), np.asarray(bev_v), rtol=2e-2, atol=2e-2
     )
+
+
+def test_lite_variant_runs(rng):
+    """SpMiddleFHDLite (strided-only, reference sparse_cnn.py:178-186)."""
+    import jax
+
+    from vision3d_tpu.config import Config
+    from vision3d_tpu.models.sparse_cnn import SpMiddleFHDLite, from_voxels
+
+    cfg = Config().replace(
+        max_voxels=128,
+        voxel_size=(0.4, 0.4, 0.1),
+        grid_bounds=(0.0, -12.8, -3.0, 25.6, 12.8, 1.0),
+        num_classes=1,
+        anchors=Config().anchors[:1],
+    )
+    grid = cfg.grid_shape_zyx
+    feats, coords, mask = random_voxels(rng, grid, 100, 128, 4)
+    st = from_voxels(feats[None], coords[None], mask[None], grid)
+    model = SpMiddleFHDLite(cfg)
+    variables = model.init(jax.random.PRNGKey(0), st, False)
+    scales, bev = model.apply(variables, st, False)
+    ny, nx = cfg.bev_shape
+    assert bev.shape == (1, ny, nx, 128)
+    assert len(scales) == 4

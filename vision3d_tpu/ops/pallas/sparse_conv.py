@@ -1,20 +1,17 @@
 """Fused Pallas sparse-conv kernel: VMEM-resident gather + MXU GEMM.
 
-XLA executes the im2col feature gather of the sparse conv as an HBM
-GatherOp costing ~6.4ns per index on v5e — at full KITTI scale that is
-~14ms per layer (2.2M neighbor fetches), the dominant cost of the whole
-detector. This kernel keeps the feature table in VMEM (padded to 128
-lanes), streams each output tile's rulebook indices through SMEM, builds
-the im2col block with VMEM-local row copies, and feeds the MXU directly —
-one kernel per conv layer, no HBM round trip for the gathered rows.
+STATUS (measured on v5e, see ARCHITECTURE.md perf notes): NOT faster than
+XLA — 4.05ms vs 2.79ms per (N=20000, K=27, C=128) layer. Both paths are
+limited by the scalar core's dynamic-address issue rate (~5-7ns/index):
+this kernel's fori_loop row copies pay the same per-index cost as XLA's
+GatherOp, plus loop overhead. Kept as the starting point for a
+vectorized-dynamic-gather (tpu.DynamicGatherOp) or tile-sparse redesign;
+the production path remains ops/sparse.py's XLA take + GEMM.
 
-Rulebook indices are built once per stage in XLA (ops/sparse.py lookup);
-index N (one past the table) is the "missing neighbor" slot and reads a
-zero row.
-
-Constraints: C and Cout are padded to 128 lanes (zero-padded table columns
-x zero-padded weight rows keep the GEMM exact); table must fit VMEM
-(N+1 rows x 128 lanes x 4B — 10.3MB at N=20000, the KITTI cap).
+Design: feature table in VMEM (padded to 128 lanes), each output tile's
+rulebook indices streamed through SMEM, im2col built with VMEM-local row
+copies, MXU GEMM in-kernel. Rulebook indices are built once per stage in
+XLA (ops/sparse.py lookup).
 """
 
 import functools
@@ -30,13 +27,13 @@ LANES = 128
 
 def _kernel(idx_ref, table_ref, w_ref, out_ref, col_scratch):
     t = out_ref.shape[0]          # output tile rows
-    k = idx_ref.shape[1] // t     # kernel taps
+    k = idx_ref.shape[2] // t     # kernel taps
 
     def body(j, _):
         base = j * k
 
         def tap(kk, __):
-            i = idx_ref[0, base + kk]
+            i = idx_ref[0, 0, base + kk]
             col_scratch[pl.ds(j, 1), pl.ds(kk * LANES, LANES)] = table_ref[
                 pl.ds(i, 1), :
             ]
@@ -45,7 +42,7 @@ def _kernel(idx_ref, table_ref, w_ref, out_ref, col_scratch):
         jax.lax.fori_loop(0, k, tap, 0, unroll=True)
         return 0
 
-    jax.lax.fori_loop(0, t, body, 0, unroll=4)
+    jax.lax.fori_loop(0, t, body, 0)
     out_ref[:, :] = jnp.dot(
         col_scratch[:, :], w_ref[:, :], preferred_element_type=jnp.float32
     )
@@ -76,14 +73,16 @@ def fused_gather_gemm(table, idx, weight, tile: int = 128,
     ].set(weight)
 
     pad_rows = (-n_out) % tile
-    idx_p = jnp.pad(idx, ((0, pad_rows), (0, 0))).reshape(-1, tile * k)
+    # trailing (1, tile*k) dims equal the array dims so the SMEM block
+    # passes Mosaic's (8, 128)-divisibility check via the equality branch
+    idx_p = jnp.pad(idx, ((0, pad_rows), (0, 0))).reshape(-1, 1, tile * k)
 
     grid = (idx_p.shape[0],)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile * k), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, tile * k), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((table_p.shape[0], LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
