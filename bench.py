@@ -47,7 +47,7 @@ def main():
     from vision3d_tpu.core.anchors import make_anchors
     from vision3d_tpu.models.second import Second, create_second
 
-    cfg = Config.from_yaml("configs/second/car.yaml") if False else Config()
+    cfg = Config()
     cfg = cfg.replace(
         num_classes=1,
         anchors=cfg.anchors[:1],

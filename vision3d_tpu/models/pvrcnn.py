@@ -28,7 +28,7 @@ from vision3d_tpu.core.voxelize import mean_vfe, voxelize_batch
 from vision3d_tpu.models.head import ProposalHead, head_inference
 from vision3d_tpu.models.pointnet import SetAbstractionMSG
 from vision3d_tpu.models.rpn import RPN
-from vision3d_tpu.models.sparse_cnn import CNN_FACTORY, from_voxels, to_global
+from vision3d_tpu.models.sparse_cnn import CNN_FACTORY, to_global
 from vision3d_tpu.ops.fps import sample_keypoints
 
 

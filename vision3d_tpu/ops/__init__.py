@@ -10,6 +10,7 @@ from vision3d_tpu.core.iou import (
 )
 from vision3d_tpu.core.nms import batched_nms, batched_nms_rotated, nms, nms_rotated
 from vision3d_tpu.core.targets import subsample_labels
+from vision3d_tpu.eval.kitti_eval import box3d_iou_matrix as box_iou_rotated_3d
 from vision3d_tpu.models.losses import sigmoid_focal_loss, smooth_l1
 from vision3d_tpu.ops.ball_query import ball_query, group_features
 from vision3d_tpu.ops.fps import furthest_point_sample, sample_keypoints
@@ -22,6 +23,7 @@ __all__ = [
     "batched_nms",
     "batched_nms_rotated",
     "box_iou_rotated",
+    "box_iou_rotated_3d",
     "furthest_point_sample",
     "group_features",
     "nms",

@@ -65,3 +65,18 @@ class MetricLogger:
                 out[f"{k}_avg"] = self.meter.average(k)
             for w in self.writers:
                 w.write(step, out)
+
+
+class TensorBoardWriter:
+    """Optional TensorBoard backend (requires the tensorboardX or tf
+    summary writer to be importable; silently unavailable otherwise)."""
+
+    def __init__(self, logdir):
+        from torch.utils.tensorboard import SummaryWriter  # torch cpu is baked in
+
+        self.w = SummaryWriter(logdir)
+
+    def write(self, step, metrics: dict):
+        for k, v in metrics.items():
+            self.w.add_scalar(k, v, step)
+        self.w.flush()
