@@ -105,3 +105,49 @@ PROPOSAL:
         ["--config", str(yml), "--velo", str(velo), "--out", str(out_png)]
     )
     assert out_png.exists()
+
+
+def test_train_cli_main(mini_cfg_tree, tmp_path, monkeypatch):
+    """The real train_cli.main: 1 epoch on the mini tree with overrides."""
+    import yaml
+
+    cfg, root = mini_cfg_tree
+    yml = root / "train_cfg.yaml"
+    yml.write_text(
+        yaml.safe_dump(
+            {
+                "MAX_VOXELS": 512,
+                "VOXEL_SIZE": [0.4, 0.4, 0.1],
+                "GRID_BOUNDS": [0.0, -12.8, -3.0, 25.6, 12.8, 1.0],
+                "NUM_CLASSES": 1,
+                "ANCHORS": [
+                    dict(names=["Car"], wlh=[1.6, 3.9, 1.56], yaw=[0, 1.501],
+                         iou_thresh=[0.45, 0.6], score_thresh=0.3, center_z=-1.0)
+                ],
+                "DATA": {
+                    "CACHEDIR": str(root / "cache"),
+                    "SPLITDIR": str(root / "splits"),
+                    "ROOTDIR": str(root / "kitti"),
+                },
+                "AUG": {"NUM_SAMPLE_OBJECTS": [2, 0, 0]},
+                "CAPACITY": {"MAX_POINTS": 1024, "MAX_GT_BOXES": 16},
+                "PROPOSAL": {"C_IN": 128, "TOPK": 8},
+            }
+        )
+    )
+    from vision3d_tpu import train_cli
+
+    metrics = tmp_path / "m.jsonl"
+    train_cli.main(
+        [
+            "--config", str(yml),
+            "--epochs", "1",
+            "--batch-size", "2",
+            "--ckpt-dir", str(tmp_path / "cli_ckpts"),
+            "--metrics-jsonl", str(metrics),
+        ]
+    )
+    import glob
+
+    assert glob.glob(str(tmp_path / "cli_ckpts" / "epoch_*")), "no checkpoint saved"
+    assert metrics.exists()

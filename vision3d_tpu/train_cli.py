@@ -39,6 +39,8 @@ def main(argv=None):
     from vision3d_tpu.training.metrics import JsonlWriter, MetricLogger, StdoutWriter
     from vision3d_tpu.training.train import create_train_state, make_train_step
 
+    import dataclasses
+
     cfg = Config.from_yaml(args.config) if args.config else Config()
     overrides = {}
     if args.epochs:
@@ -48,8 +50,7 @@ def main(argv=None):
     if args.ckpt_dir:
         overrides["ckpt_dir"] = args.ckpt_dir
     if overrides:
-        cfg = cfg.replace(train=cfg.train.__class__(
-            **{**cfg.train.__dict__, **overrides}))
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **overrides))
 
     dataset = KittiDatasetTrain(cfg, rng=np.random.default_rng(args.seed))
     loader = DataLoader(dataset, cfg, seed=args.seed)
@@ -62,7 +63,14 @@ def main(argv=None):
     if args.resume:
         state, start_epoch = maybe_resume(cfg.train.ckpt_dir, state)
 
-    mesh = make_mesh()
+    # use the largest device count that divides the batch size
+    devices = jax.devices()
+    n = len(devices)
+    while cfg.train.batch_size % n:
+        n -= 1
+    mesh = make_mesh(devices[:n])
+    if n != len(devices):
+        print(f"using {n}/{len(devices)} devices (batch {cfg.train.batch_size})")
     state = replicate(state, mesh)
     step_fn = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
     logger = MetricLogger(
