@@ -70,6 +70,46 @@ def test_loss_normalized_by_positive_count(rng):
     cls_map = jnp.zeros(shape)
     reg_map = jnp.ones(shape + (7,))
     out = proposal_loss(cls_map, reg_map, t, cfg)
-    # smooth_l1(1,0)=0.5 each for 6 dims + 0.5/pi for yaw, one positive site
-    expect = 6 * 0.5 + 0.5 / np.pi
+    # smooth_l1(1,0)=0.5 for each of 6 dims + yaw 0.5*3/pi (the reference's
+    # broadcast quirk triple-counts the yaw term), one positive site
+    expect = 6 * 0.5 + 3 * 0.5 / np.pi
     np.testing.assert_allclose(float(out["reg_loss"]), expect, rtol=1e-6)
+
+
+def test_reg_loss_matches_reference_broadcast_semantics(rng):
+    """Execute the reference's own loss expressions in torch
+    (proposal.py:112-131: masked_sum((l_xyz + l_wlh + l_yaw/pi) * M_reg))
+    and require equality — including the quirk that the (...,1) yaw term
+    broadcasts against the 3-wide xyz+wlh sum (counted 3x)."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    shape = (2, 1, 2, 4, 4)
+    P = rng.normal(0, 1, shape + (7,)).astype(np.float32)
+    G = rng.normal(0, 1, shape + (7,)).astype(np.float32)
+    m_reg = rng.uniform(size=shape) > 0.7
+
+    tP, tG = torch.from_numpy(P), torch.from_numpy(G)
+    P_xyz, P_wlh, P_yaw = tP.split([3, 3, 1], dim=-1)
+    G_xyz, G_wlh, G_yaw = tG.split([3, 3, 1], dim=-1)
+    l_xyz = F.smooth_l1_loss(P_xyz, G_xyz, reduction="none")
+    l_wlh = F.smooth_l1_loss(P_wlh, G_wlh, reduction="none")
+    l_yaw = F.smooth_l1_loss(P_yaw, G_yaw, reduction="none") / math.pi
+    M = torch.from_numpy(m_reg).unsqueeze(-1)
+    expect_sum = ((l_xyz + l_wlh + l_yaw) * M.float()).sum().item()
+    normalizer = max(m_reg.sum(), 1)
+
+    from vision3d_tpu.config import Config
+    from vision3d_tpu.core.targets import Targets
+
+    cfg = Config().replace(num_classes=1, anchors=Config().anchors[:1])
+    t = Targets(
+        G_cls=jnp.zeros(shape), M_cls=jnp.zeros(shape, bool),
+        G_reg=jnp.asarray(G), M_reg=jnp.asarray(m_reg),
+    )
+    out = proposal_loss(jnp.zeros(shape), jnp.asarray(P), t, cfg)
+    np.testing.assert_allclose(
+        float(out["reg_loss"]), expect_sum / normalizer, rtol=1e-5
+    )

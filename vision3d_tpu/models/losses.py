@@ -51,7 +51,11 @@ def proposal_loss(cls_map, reg_map, targets: Targets, cfg: Config):
     cls_loss = (cls * targets.M_cls.astype(cls.dtype)).sum() / normalizer
 
     per = smooth_l1(reg_map, targets.G_reg)
-    per = per.at[..., 6].set(per[..., 6] / math.pi)  # yaw term scaled 1/pi
+    # Reference parity quirk: proposal.py:118-123 sums
+    # (loss_xyz (,3) + loss_wlh (,3) + loss_yaw (,1)/pi) — the yaw term
+    # BROADCASTS against the 3-wide sum, so it is counted three times:
+    # total = sum(xyz) + sum(wlh) + 3*yaw/pi. Reproduced here.
+    per = per.at[..., 6].set(per[..., 6] * (3.0 / math.pi))
     reg_loss = (per.sum(-1) * m_reg).sum() / normalizer
 
     loss = cls_loss + cfg.train.lam * reg_loss
