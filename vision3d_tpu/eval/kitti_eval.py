@@ -25,8 +25,6 @@ from collections import defaultdict
 
 import numpy as np
 
-from vision3d_tpu.core.iou import rotated_iou
-
 CLASS_IOU_THRESH = {0: 0.7, 1: 0.5, 2: 0.5}
 N_RECALL_POINTS = 40
 

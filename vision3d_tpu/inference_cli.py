@@ -28,7 +28,7 @@ def main(argv=None):
     from vision3d_tpu.data.kitti import read_velo
     from vision3d_tpu.data.loader import pad_points
     from vision3d_tpu.models.head import extract_detections
-    from vision3d_tpu.models.second import Second, create_second
+    from vision3d_tpu.models.second import Second
     from vision3d_tpu.training.checkpoint import load_checkpoint
     from vision3d_tpu.training.train import create_train_state
 

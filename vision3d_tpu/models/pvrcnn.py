@@ -17,14 +17,12 @@ interpolation, and the whole stage-1 path is one jit graph over fixed
 capacities.
 """
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from vision3d_tpu.config import Config
-from vision3d_tpu.core.voxelize import mean_vfe, voxelize_batch
+from vision3d_tpu.core.voxelize import voxelize_batch
 from vision3d_tpu.models.head import ProposalHead, head_inference
 from vision3d_tpu.models.pointnet import SetAbstractionMSG
 from vision3d_tpu.models.rpn import RPN
@@ -165,7 +163,7 @@ class PV_RCNN(nn.Module):
     def inference_two_stage(self, points, num_points, anchors, rng):
         """Refined detections: stage-2 deltas applied to proposals, scored
         by refinement confidence * proposal score, rotated NMS."""
-        from vision3d_tpu.models.head import Detections, multiclass_nms
+        from vision3d_tpu.models.head import multiclass_nms
         from vision3d_tpu.models.refinement import apply_refinements
 
         c = self.cfg

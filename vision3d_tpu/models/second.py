@@ -12,8 +12,6 @@ NMS) compile to one XLA program — no host round trips anywhere
 inside NMS, SURVEY §3.1-3.2).
 """
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ batch norm. Batched via vmap; the whole extractor is one jit-able pure
 function of (params, voxels).
 """
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import flax.struct

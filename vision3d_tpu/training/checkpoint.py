@@ -10,7 +10,6 @@ optax schedule replays automatically from ``state.step``.
 import os.path as osp
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from vision3d_tpu.training.train import TrainState

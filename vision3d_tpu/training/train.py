@@ -11,7 +11,7 @@ donated state, batch-sharded inputs over the mesh's data axis, XLA-inserted
 gradient psum (no explicit collectives needed).
 """
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.struct
 import jax
