@@ -179,3 +179,72 @@ def test_batched_downsample_matches_per_sample(rng):
             np.asarray(got_k)[np.asarray(got_m)],
             np.asarray(ref_k)[np.asarray(ref_m)],
         )
+
+
+def test_sparse_conv_gradients_match_dense(rng):
+    """Training correctness: d(loss)/d(weight) and d(loss)/d(features) of
+    the sparse conv equal the dense convolution's gradients restricted to
+    active sites (the backward pass scatters through the same rulebook)."""
+    grid, cap, cin, cout = (5, 8, 7), 64, 3, 4
+    kernel, stride, pad = (3, 3, 3), (1, 1, 1), (1, 1, 1)
+    feats, coords, mask = random_sparse(rng, grid, 40, cap, cin)
+    f, k, m = sp.make_sorted(feats, coords, mask, grid)
+    weight = jnp.asarray(
+        rng.normal(size=(int(np.prod(kernel)) * cin, cout)), jnp.float32
+    )
+    cotangent = jnp.asarray(rng.normal(size=(cap, cout)), jnp.float32)
+    cotangent = jnp.where(m[:, None], cotangent, 0.0)
+
+    def sparse_loss(f_, w_):
+        out = sp.sparse_conv_apply(f_, k, m, w_, grid, kernel, stride, pad)
+        return jnp.sum(out * cotangent)
+
+    gf_s, gw_s = jax.grad(sparse_loss, argnums=(0, 1))(f, weight)
+
+    def dense_loss(f_, w_):
+        dense_in = sp.to_dense(f_, k, m, grid)
+        out = dense_conv(dense_in, w_, kernel, stride, pad)
+        cot_dense = sp.to_dense(cotangent, k, m, grid)
+        return jnp.sum(out * cot_dense)
+
+    gf_d, gw_d = jax.grad(dense_loss, argnums=(0, 1))(f, weight)
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_d),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(gf_s)[np.asarray(m)], np.asarray(gf_d)[np.asarray(m)],
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_batched_sparse_conv_gradients(rng):
+    """Same check through the batched flat-gather path used by the model."""
+    grid, cap, cin, cout = (5, 8, 7), 64, 3, 4
+    kernel, stride, pad = (3, 3, 3), (1, 1, 1), (1, 1, 1)
+    tensors = [random_sparse(rng, grid, 40, cap, cin) for _ in range(2)]
+    f = jnp.stack([sp.make_sorted(*t, grid)[0] for t in tensors])
+    k = jnp.stack([sp.make_sorted(*t, grid)[1] for t in tensors])
+    m = jnp.stack([sp.make_sorted(*t, grid)[2] for t in tensors])
+    weight = jnp.asarray(
+        rng.normal(size=(int(np.prod(kernel)) * cin, cout)), jnp.float32
+    )
+    cot = jnp.asarray(rng.normal(size=(2, cap, cout)), jnp.float32)
+    cot = jnp.where(m[..., None], cot, 0.0)
+
+    def batched_loss(f_, w_):
+        out = sp.sparse_conv_apply_batched(f_, k, m, w_, grid, kernel,
+                                           stride, pad)
+        return jnp.sum(out * cot)
+
+    def vmapped_loss(f_, w_):
+        out = jax.vmap(
+            lambda a, b, c: sp.sparse_conv_apply(a, b, c, w_, grid, kernel,
+                                                 stride, pad)
+        )(f_, k, m)
+        return jnp.sum(out * cot)
+
+    gf_b, gw_b = jax.grad(batched_loss, argnums=(0, 1))(f, weight)
+    gf_v, gw_v = jax.grad(vmapped_loss, argnums=(0, 1))(f, weight)
+    np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_v),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf_b), np.asarray(gf_v),
+                               rtol=1e-5, atol=1e-5)
