@@ -1,13 +1,14 @@
 """Pallas TPU row-gather kernel.
 
-XLA's GatherOp executes irregular row gathers on the TPU scalar core,
-which makes the sparse-conv im2col gather (540k rows x C per layer at
-full KITTI scale) the dominant cost of the whole detector. This kernel
-keeps the gather table resident in VMEM and streams index tiles through
-SMEM, copying rows with dynamic sublane slices — a VMEM-local loop
-instead of an HBM scalar-core walk.
+STATUS: see ops/pallas/sparse_conv.py — on v5e both XLA's GatherOp and
+Pallas scalar row-copy loops are bounded by the same ~5-7ns/index
+dynamic-address rate, so this kernel does not beat jnp.take; Mosaic also
+requires 128-lane blocks (C must be padded). Kept as the substrate for a
+future vectorized-dynamic-gather variant.
 
-Falls back to jnp.take off-TPU; interpret mode keeps CPU tests exact.
+Design: table resident in VMEM, index tiles streamed through SMEM,
+rows copied with dynamic sublane slices. Interpret mode keeps CPU tests
+exact.
 """
 
 import functools
