@@ -154,6 +154,14 @@ def assign_refinement_targets_keypoints(key, keypoints, gt_boxes, gt_class,
     ``anchor['radius']`` key is absent from its config; our AnchorConfig
     adds ``radius``).
 
+    Role split vs models/refinement.py: the production PV-RCNN two-stage
+    train step supervises the refinement head with proposal-IoU-based
+    targets (models/refinement.py: refinement_loss), which is what the
+    head actually consumes; this keypoint-radius assigner is the
+    completed parity API for the reference's P7 component and feeds the
+    keypoint-segmentation auxiliary supervision (PV-RCNN's predicted
+    keypoint weighting) when enabled.
+
     Per the reference's sketch: a keypoint within a class's spherical
     radius of a gt center is a positive of that class; one-hot cls targets
     carry background and ignore channels (background seeded with

@@ -86,6 +86,12 @@ class PV_RCNN(nn.Module):
 
         self.roi_grid_pool = RoiGridPool(c)
         self.refinement = RefinementLayer(c)
+        # Keypoint segmentation head (PV-RCNN "predicted keypoint
+        # weighting"): per-keypoint class/background logits supervised by
+        # the keypoint-radius assigner (core/targets.py:
+        # assign_refinement_targets_keypoints — the reference's unfinished
+        # RefinementTargetAssigner design, refinement_targets.py:33-65).
+        self.keypoint_seg = nn.Dense(c.num_classes + 1)
 
     def keypoints_of(self, points, num_points):
         mask = jnp.arange(points.shape[1])[None, :] < num_points[:, None]
@@ -145,8 +151,12 @@ class PV_RCNN(nn.Module):
         proposals = boxes.reshape(b, -1, c.box_dof)
         prop_scores = scores.reshape(b, -1)
         kp_mask = jnp.ones(keypoints.shape[:2], bool)
+        # Predicted keypoint weighting: down-weight background keypoints'
+        # features before RoI pooling; foreground prob = 1 - p(background).
+        seg_logits = self.keypoint_seg(point_features)  # (B, K, n_cls + 1)
+        fg = 1.0 - jax.nn.softmax(seg_logits, axis=-1)[..., -1:]
         pooled = self.roi_grid_pool(
-            rng, proposals, keypoints, point_features, kp_mask, train
+            rng, proposals, keypoints, point_features * fg, kp_mask, train
         )
         box_deltas, conf_logits = self.refinement(pooled)
         return dict(
@@ -154,6 +164,7 @@ class PV_RCNN(nn.Module):
             keypoints=keypoints, point_features=point_features,
             proposals=proposals, proposal_scores=prop_scores,
             box_deltas=box_deltas, conf_logits=conf_logits,
+            seg_logits=seg_logits,
         )
 
     def inference(self, points, num_points, anchors):

@@ -87,7 +87,9 @@ def main(argv=None):
             state, losses = step_fn(state, batch)
             step += 1
             logger.update(step, losses)
-        if epoch % cfg.train.ckpt_interval_epochs == 0 or epoch == cfg.train.epochs - 1:
+        # every-3-epochs semantics per the reference (train.py:71-72):
+        # save after epochs 3, 6, ... and always after the last one.
+        if (epoch + 1) % cfg.train.ckpt_interval_epochs == 0 or epoch == cfg.train.epochs - 1:
             path = save_checkpoint(cfg.train.ckpt_dir, state, epoch)
             print(f"saved {path}")
 

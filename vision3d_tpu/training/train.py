@@ -112,18 +112,35 @@ def make_train_step(model: Second, tx, cfg: Config, anchors=None):
 
 
 def make_pvrcnn_train_step(model, tx, cfg: Config, anchors=None,
-                           train_stage2: bool = True):
+                           train_stage2: bool = True, seed: int = 0):
     """Two-stage PV-RCNN train step: stage-1 proposal loss (identical to
     SECOND's) plus the completed refinement loss (models/refinement.py) on
     RoI-pooled proposals. The reference can only train its proposal stage
     (SURVEY: training.md:4, model.py:84-85); stage-2 training is part of
     this framework's completion of PV-RCNN.
     """
+    from vision3d_tpu.core.targets import assign_refinement_targets_keypoints
     from vision3d_tpu.models.pvrcnn import PV_RCNN
     from vision3d_tpu.models.refinement import refinement_loss
 
     if anchors is None:
         anchors = jnp.asarray(make_anchors(cfg))
+
+    def keypoint_seg_loss(seg_logits, keypoints, batch, rng):
+        """Auxiliary keypoint-segmentation (PKW) loss: softmax CE between
+        the seg head's (n_cls + 1) logits and the keypoint-radius targets'
+        class/background channels, ignoring ignore-channel keypoints."""
+        keys = jax.random.split(rng, keypoints.shape[0])
+        cls_t, _ = jax.vmap(
+            assign_refinement_targets_keypoints,
+            in_axes=(0, 0, 0, 0, 0, None),
+        )(keys, keypoints, batch["boxes"], batch["class_idx"],
+          batch["gt_mask"], cfg)          # (B, K, n_cls + 2)
+        valid = cls_t[..., -1] == 0.0     # not ignore
+        labels = cls_t[..., :-1]          # classes + background
+        ce = optax.softmax_cross_entropy(seg_logits, labels)
+        n = jnp.maximum(valid.sum(), 1.0)
+        return jnp.where(valid, ce, 0.0).sum() / n
 
     def loss_fn(params, batch_stats, batch, targets, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -139,7 +156,11 @@ def make_pvrcnn_train_step(model, tx, cfg: Config, anchors=None,
                 batch["boxes"], batch["gt_mask"], cfg,
             )
             losses.update(rl)
-            losses["loss"] = losses["loss"] + rl["refine_loss"]
+            seg = keypoint_seg_loss(
+                out["seg_logits"], out["keypoints"], batch, rng
+            )
+            losses["seg_loss"] = seg
+            losses["loss"] = losses["loss"] + rl["refine_loss"] + seg
         else:
             (cls_map, reg_map), mutated = model.apply(
                 variables, batch["points"], batch["num_points"], train=True,
@@ -154,7 +175,7 @@ def make_pvrcnn_train_step(model, tx, cfg: Config, anchors=None,
             batch["box_ignore"], anchors, cfg,
         )
         targets = jax.lax.stop_gradient(targets)
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (losses, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, batch, targets, rng
