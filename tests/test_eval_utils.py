@@ -6,6 +6,8 @@ from vision3d_tpu.eval.kitti_eval import (
     average_precision_r40,
     box3d_iou_matrix,
     evaluate,
+    evaluate_pooled,
+    get_thresholds,
 )
 
 
@@ -39,7 +41,7 @@ def test_3d_iou_z_offset():
 def test_perfect_detection_ap():
     gt = [_frame([[10, 0, 0, 2, 4, 1.5, 0.1]])]
     det = [_frame([[10, 0, 0, 2, 4, 1.5, 0.1]], scores=[0.9])]
-    assert evaluate(det, gt, class_idx=0) == 100.0
+    assert evaluate_pooled(det, gt, class_idx=0) == 100.0
 
 
 def test_missed_and_false_positive():
@@ -50,7 +52,7 @@ def test_missed_and_false_positive():
             scores=[0.9, 0.8],
         )
     ]
-    ap = evaluate(det, gt, class_idx=0)
+    ap = evaluate_pooled(det, gt, class_idx=0)
     assert 0 < ap < 100  # one TP of two gt + one FP
 
 
@@ -58,8 +60,10 @@ def test_ignored_difficulty_not_counted():
     # hard gt ignored at moderate difficulty: matching det is neither TP/FP
     gt = [_frame([[10, 0, 0, 2, 4, 1.5, 0.1]], levels=[3])]
     det = [_frame([[10, 0, 0, 2, 4, 1.5, 0.1]], scores=[0.9])]
-    assert evaluate(det, gt, class_idx=0, difficulty=2) == 0.0  # no valid gt
-    assert evaluate(det, gt, class_idx=0, difficulty=3) == 100.0
+    assert evaluate_pooled(det, gt, class_idx=0, difficulty=2) == 0.0
+    assert evaluate_pooled(det, gt, class_idx=0, difficulty=3) == 100.0
+    # official protocol agrees that ignored gt contributes nothing
+    assert evaluate(det, gt, class_idx=0, difficulty=2) == 0.0
 
 
 def test_ap_r40_half_precision():
@@ -113,3 +117,86 @@ def test_checkpoint_roundtrip(tmp_path, tiny_cfg):
     # empty dir -> epoch 0, untouched
     _, e0 = maybe_resume(str(tmp_path / "nothing"), state)
     assert e0 == 0
+
+
+def _grid_boxes(n, spacing=10.0):
+    boxes = np.zeros((n, 7), np.float32)
+    for i in range(n):
+        boxes[i, :3] = [spacing * (i % 8), spacing * (i // 8), 0]
+        boxes[i, 3:6] = [2, 4, 1.5]
+    return boxes
+
+
+def test_official_perfect_dense_is_100():
+    """>= 41 gts with distinct-score perfect detections saturate every
+    recall bin of the official threshold subsampling."""
+    boxes = _grid_boxes(48)
+    scores = np.linspace(0.99, 0.5, 48).astype(np.float32)
+    gt = [_frame(boxes)]
+    det = [_frame(boxes, scores=scores)]
+    assert evaluate(det, gt, class_idx=0) == 100.0
+
+
+def test_official_single_gt_quirk():
+    """Protocol quirk (devkit eval.cpp): one perfect detection of one gt
+    scores 0 under R40 — the single threshold lands on precision[0],
+    which the R40 average (points 1..40) excludes."""
+    gt = [_frame([[10, 0, 0, 2, 4, 1.5, 0.1]])]
+    det = [_frame([[10, 0, 0, 2, 4, 1.5, 0.1]], scores=[0.9])]
+    assert evaluate(det, gt, class_idx=0) == 0.0
+    assert evaluate_pooled(det, gt, class_idx=0) == 100.0
+
+
+def test_official_half_recall_exact():
+    """40 gts, first 20 detected perfectly, no FPs: official threshold
+    quantization yields exactly 47.5 (19 saturated points of 40) while
+    the exact pooled integral yields 50."""
+    boxes = _grid_boxes(40)
+    gt = [_frame(boxes)]
+    det = [_frame(boxes[:20], scores=np.linspace(0.9, 0.5, 20))]
+    assert evaluate(det, gt, class_idx=0) == 47.5
+    assert evaluate_pooled(det, gt, class_idx=0) == 50.0
+
+
+def test_get_thresholds_recall_steps():
+    scores = np.linspace(1.0, 0.1, 200)
+    th = get_thresholds(scores, n_gt=200)
+    assert len(th) == 41
+    assert all(a > b for a, b in zip(th, th[1:]))
+
+
+def test_official_vs_pooled_converge_at_scale():
+    """On a large randomized set the protocol quantization error is small:
+    the two computations must agree within 2 AP points."""
+    rng = np.random.default_rng(7)
+    gts, dets = [], []
+    for _ in range(40):
+        n = rng.integers(4, 10)
+        boxes = np.zeros((n, 7), np.float32)
+        boxes[:, :3] = rng.uniform([0, -30, -1], [60, 30, 0], (n, 3))
+        boxes[:, 3:6] = [1.8, 4.2, 1.5]
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        gts.append(_frame(boxes))
+        # detect ~75% with small jitter, score anti-correlated with jitter
+        keep = rng.uniform(size=n) < 0.75
+        jitter = rng.normal(0, 0.15, (keep.sum(), 3))
+        db = boxes[keep].copy()
+        db[:, :3] += jitter
+        ds = np.clip(0.95 - 2.0 * np.abs(jitter).sum(1), 0.05, 1.0)
+        # plus false positives
+        nf = rng.integers(0, 4)
+        fb = np.zeros((nf, 7), np.float32)
+        fb[:, :3] = rng.uniform([0, -30, -1], [60, 30, 0], (nf, 3))
+        fb[:, 3:6] = [1.8, 4.2, 1.5]
+        dets.append(
+            _frame(
+                np.concatenate([db, fb]),
+                scores=np.concatenate(
+                    [ds, rng.uniform(0.05, 0.6, nf)]
+                ).astype(np.float32),
+            )
+        )
+    ap_official = evaluate(dets, gts, class_idx=0)
+    ap_pooled = evaluate_pooled(dets, gts, class_idx=0)
+    assert 20 < ap_official < 100
+    assert abs(ap_official - ap_pooled) < 2.0, (ap_official, ap_pooled)
