@@ -41,6 +41,12 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compilation cache: repeat bench runs (and any same-shape
+    # production process) skip XLA recompilation entirely
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vision3d_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from vision3d_tpu.config import Config
@@ -107,15 +113,15 @@ def main():
     np.asarray(trivial(jnp.ones(())))
     rt_latency = time.perf_counter() - t0
 
-    best = np.inf
+    reps = []
     for _ in range(args.warmup):
         t0 = time.perf_counter()
         np.asarray(f(points, num))
-        best = min(best, time.perf_counter() - t0)
+        reps.append(time.perf_counter() - t0)
+    per_iter = [max(r - rt_latency, 1e-9) / args.iters for r in reps]
+    best, p50 = min(per_iter), float(np.median(per_iter))
 
-    per_iter = max(best - rt_latency, 1e-9) / args.iters
-    fps = args.batch / per_iter
-    p50_ms = per_iter / args.batch * 1e3
+    fps = args.batch / best
     baseline_fps = 500.0
     print(
         json.dumps(
@@ -124,7 +130,17 @@ def main():
                 "value": round(float(fps), 2),
                 "unit": "frames/s",
                 "vs_baseline": round(float(fps) / baseline_fps, 4),
-                "p50_latency_ms_per_frame": round(p50_ms, 3),
+                # honest latency: executions are serialized inside one jit
+                # scan (data dependency through the carry), so per-iteration
+                # time IS the on-device latency of one batch; a frame's
+                # latency equals its batch's latency at this batch size.
+                # One measured host round-trip is subtracted from each
+                # chain total before dividing (it is reported separately —
+                # a real client pays it once per request).
+                "batch_latency_ms_p50": round(p50 * 1e3, 3),
+                "batch_latency_ms_best": round(best * 1e3, 3),
+                "host_roundtrip_ms": round(rt_latency * 1e3, 3),
+                "latency_method": "chained-scan, serialized batches",
                 "batch": args.batch,
                 "points_per_frame": args.points,
                 "compile_s": round(compile_s, 1),

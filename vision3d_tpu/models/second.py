@@ -73,5 +73,8 @@ def create_second(cfg: Config, rng: jax.Array, example_batch=None):
         num_points = jnp.asarray([64], jnp.int32)
     else:
         points, num_points = example_batch
-    variables = model.init(rng, points, num_points, train=False)
+    # jit the init: flax init otherwise runs op-by-op, which is pathological
+    # on remote-compiled backends (each tiny op is a separate compilation)
+    init = jax.jit(lambda r, p, n: model.init(r, p, n, train=False))
+    variables = init(rng, points, num_points)
     return model, variables

@@ -123,7 +123,7 @@ class SubMConv(nn.Module):
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, st, train: bool):
+    def __call__(self, st, train: bool, rb=None):
         k = int(np.prod(self.kernel))
         cin = st.feats.shape[-1]
         pad = tuple(s // 2 for s in self.kernel)
@@ -146,10 +146,11 @@ class SubMConv(nn.Module):
             out = jnp.where(site_mask[..., None], nn.relu(out), 0.0)
             return st.replace(feats=out.reshape(b, ncol, d, c))
         cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
-        out = sp.sparse_conv_apply_batched(
-            st.feats, st.keys, st.mask, w, st.grid, self.kernel, (1, 1, 1),
-            pad, compute_dtype=cdt,
-        )
+        if rb is None:
+            rb = sp.build_rulebook_batched(
+                st.keys, st.mask, st.grid, self.kernel, (1, 1, 1), pad
+            )
+        out = sp.conv_rulebook_apply(st.feats, rb, w, compute_dtype=cdt)
         out = MaskedBatchNorm()(out, st.mask, train)
         out = jnp.where(st.mask[..., None], nn.relu(out), 0.0)
         return st.replace(feats=out)
@@ -216,11 +217,11 @@ class SparseConvDown(nn.Module):
             )
         )(st.keys, st.mask)
         cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
-        of = sp.sparse_conv_apply_batched(
-            st.feats, st.keys, st.mask, w, out_grid, self.kernel, self.stride,
-            self.pad, out_keys=ok, out_mask=om, in_grid=st.grid,
-            compute_dtype=cdt,
+        rb = sp.build_rulebook_batched(
+            st.keys, st.mask, out_grid, self.kernel, self.stride, self.pad,
+            out_keys=ok, out_mask=om, in_grid=st.grid,
         )
+        of = sp.conv_rulebook_apply(st.feats, rb, w, compute_dtype=cdt)
         of = MaskedBatchNorm()(of, om, train)
         of = jnp.where(om[..., None], nn.relu(of), 0.0)
         return SparseTensor(feats=of, keys=ok, mask=om, grid=out_grid)
@@ -290,8 +291,16 @@ class SpMiddleFHD(nn.Module):
         x = st
         dt = self.cfg.compute_dtype
         for subm_channels, down in self.block_specs():
+            # submanifold layers in a block share the active set, so the
+            # neighbor rulebook is built once per block (spconv shares via
+            # indice_key, reference sparse_cnn.py:154-172)
+            rb = None
+            if subm_channels and isinstance(x, SparseTensor):
+                rb = sp.build_rulebook_batched(
+                    x.keys, x.mask, x.grid, (3, 3, 3), (1, 1, 1), (1, 1, 1)
+                )
             for ch in subm_channels:
-                x = SubMConv(features=ch, dtype=dt)(x, train)
+                x = SubMConv(features=ch, dtype=dt)(x, train, rb=rb)
             x = SparseConvDown(dtype=dt, **down)(x, train)
             scales.append(x)
         bev = to_bev(scales[-1])

@@ -180,12 +180,15 @@ def to_dense(feats, keys, mask, grid):
     return dense[:-1].reshape(d, h, w, c)
 
 
-# Dense-index lookup is used when the batched table has at most this many
-# cells. Measured on v5e: random gathers cost ~6.4ns/index nearly
-# independent of table size, but the table BUILD (fill+scatter) grows with
-# size (1.5GB -> ~10ms); measured end-to-end the dense table still wins at
-# the full-res stage (370M cells batched), so the ceiling sits above it.
-DENSE_LOOKUP_MAX_CELLS = 400_000_000
+# Dense-index lookups (perfect-hash tables over the grid) are used up to
+# this many batched cells; int16 row indices keep the full-resolution
+# KITTI stage-0 table (8 x 92.4M cells) at ~1.5GB transient. Beyond the
+# limit (or when row ids overflow int16 at >2^31 cells) we fall back to
+# sort-based search — but note large fused programs containing those sorts
+# trigger an XLA/TPU compile pathology that made SECOND's stage 0 ~5x
+# slower end-to-end than the sum of its ops (measured r2; see
+# ARCHITECTURE.md), which is why the dense path is strongly preferred.
+DENSE_LOOKUP_MAX_CELLS = 1_200_000_000
 
 
 def lookup_keys_batched(keys, mask, queries, grid):
@@ -201,9 +204,13 @@ def lookup_keys_batched(keys, mask, queries, grid):
     b, n = keys.shape
     q = queries.shape[1]
     s = sentinel_key(grid)
-    if b * s <= DENSE_LOOKUP_MAX_CELLS:
-        table = jnp.full((b * (s + 1),), -1, jnp.int32)
-        rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    if n < 32_767:
+        dt = jnp.int16 if b * s <= DENSE_LOOKUP_MAX_CELLS else None
+    else:
+        dt = jnp.int32 if b * s <= DENSE_LOOKUP_MAX_CELLS // 3 else None
+    if dt is not None:
+        table = jnp.full((b * (s + 1),), -1, dt)
+        rows = jnp.broadcast_to(jnp.arange(n, dtype=dt), (b, n))
         flat_keys = jnp.where(mask, keys, s) + (
             jnp.arange(b, dtype=jnp.int32) * (s + 1)
         )[:, None]
@@ -215,7 +222,7 @@ def lookup_keys_batched(keys, mask, queries, grid):
         )[:, None]
         vals = jnp.take(table, flat_q.reshape(-1), axis=0).reshape(b, q)
         found = (vals >= 0) & (queries < s)
-        return jnp.maximum(vals, 0), found
+        return jnp.maximum(vals, 0).astype(jnp.int32), found
     idx = jax.vmap(lambda k_, q_: jnp.searchsorted(k_, q_, method="sort"))(
         keys, queries
     )
@@ -286,6 +293,66 @@ def sparse_conv_apply_batched(feats, keys, mask, weight, grid, kernel,
                   preferred_element_type=jnp.float32).reshape(b, n_out, -1)
     m = mask if out_keys is None else out_mask
     return jnp.where(m[..., None], out, 0.0)
+
+
+def build_rulebook_batched(keys, mask, grid, kernel, stride=(1, 1, 1),
+                           pad=(0, 0, 0), out_keys=None, out_mask=None,
+                           in_grid=None):
+    """Neighbor-index rulebook with zero-row routing (built ONCE per stage).
+
+    Returns idx (B, N_out * K) int32 in [0, N]: found neighbors point at
+    their feature row, misses and padded outputs point at row N — callers
+    append a zero row to the feature table so no float masking pass is
+    needed after the gather (the miss contribution is exactly zero).
+    K is minor (torch kernel-offset order), matching weight layout.
+    """
+    if out_keys is None:
+        out_keys, out_mask, in_grid = keys, mask, grid
+    b, n = keys.shape
+    d, h, w = grid
+    ok = jnp.where(out_mask, out_keys, 0)
+    oz = ok // (h * w)
+    oy = (ok // w) % h
+    ox = ok % w
+    coords = jnp.stack([oz, oy, ox], axis=-1)  # (B, N_out, 3)
+
+    offs = jnp.asarray(_kernel_offsets(kernel))
+    stride_a = jnp.asarray(stride, jnp.int32)
+    pad_a = jnp.asarray(pad, jnp.int32)
+    dims = jnp.asarray(in_grid, jnp.int32)
+    nbr = coords[:, :, None, :] * stride_a - pad_a + offs[None, None]
+    in_bounds = ((nbr >= 0) & (nbr < dims)).all(-1) & out_mask[:, :, None]
+    di, hi, wi = in_grid
+    nkey = (nbr[..., 0] * hi + nbr[..., 1]) * wi + nbr[..., 2]
+    nkey = jnp.where(in_bounds, nkey, sentinel_key(in_grid))
+
+    idx, found = lookup_keys_batched(keys, mask, nkey.reshape(b, -1), in_grid)
+    return jnp.where(found, idx, n).astype(jnp.int32)
+
+
+def conv_rulebook_apply(feats, rb_idx, weight, compute_dtype=jnp.float32):
+    """Take + one GEMM using a prebuilt rulebook.
+
+    feats (B, N, C); rb_idx (B, N_out*K) routed to the appended zero row N
+    for misses; weight (K*Cin, Cout). Returns (B, N_out, Cout), zero at
+    padded outputs before the BN bias (BN's final mask zeroes those rows).
+
+    One flat batch-wide take: per-sample lax.map/scan variants and vmap
+    were all measured slower on v5e (see ARCHITECTURE.md perf notes).
+    """
+    b, n, c = feats.shape
+    k = weight.shape[0] // c
+    n_out = rb_idx.shape[1] // k
+    table = jnp.concatenate(
+        [feats, jnp.zeros((b, 1, c), feats.dtype)], axis=1
+    ).astype(compute_dtype)
+    flat = (rb_idx + jnp.arange(b, dtype=jnp.int32)[:, None] * (n + 1)).reshape(-1)
+    cols = jnp.take(table.reshape(b * (n + 1), c), flat, axis=0)
+    out = jnp.dot(
+        cols.reshape(b * n_out, k * c), weight.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, n_out, -1)
 
 
 def downsample_active_set_batched(keys, mask, in_grid, kernel, stride, pad,
