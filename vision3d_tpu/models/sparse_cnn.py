@@ -46,20 +46,31 @@ class SparseTensor:
 @flax.struct.dataclass
 class ColumnTensor:
     """Batched column-sparse tensor: sparse in BEV, dense in z
-    (ops/column_sparse.py) — the TPU fast path for SECOND's middle CNN."""
+    (ops/column_sparse.py) — the TPU fast path for SECOND's middle CNN.
 
-    feats: jax.Array     # (B, Ncol, D, C)
+    Features are stored FLAT as z-major (D*C) rows: any (..., D, C) or
+    (..., C) materialization is lane-padded up to 8x by TPU tiling (see
+    ops/column_sparse.py header), so the channel count rides along as the
+    static ``c`` field instead of a tensor dimension.
+    """
+
+    feats: jax.Array     # (B, Ncol, D*C) flat z-major rows
     zmask: jax.Array     # (B, Ncol, D)
     keys: jax.Array      # (B, Ncol) sorted BEV keys (y * W + x)
     mask: jax.Array      # (B, Ncol)
     grid: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
+    c: int = flax.struct.field(pytree_node=False, default=4)
 
     def to_voxel_sparse(self, cap: int) -> SparseTensor:
+        d = self.grid[0]
+        f4 = self.feats.reshape(
+            self.feats.shape[0], self.feats.shape[1], d, self.c
+        ).astype(jnp.float32)
         f, k, m = jax.vmap(
             lambda f_, z, kk, cm: csp.columns_to_voxels(
                 f_, z, kk, cm, self.grid, cap
             )
-        )(self.feats, self.zmask, self.keys, self.mask)
+        )(f4, self.zmask, self.keys, self.mask)
         return SparseTensor(feats=f, keys=k, mask=m, grid=self.grid)
 
 
@@ -71,10 +82,11 @@ def from_voxels(feats, coords, mask, grid) -> SparseTensor:
 
 
 def from_voxels_columns(feats, coords, mask, grid, ncol_cap: int) -> ColumnTensor:
-    f, z, k, m = jax.vmap(
-        lambda f_, c, v: csp.columns_from_voxels(f_, c, v, grid, ncol_cap)
-    )(feats, coords, mask)
-    return ColumnTensor(feats=f, zmask=z, keys=k, mask=m, grid=grid)
+    f, z, k, m = csp.columns_from_voxels_batched(
+        feats, coords, mask, grid, ncol_cap
+    )
+    return ColumnTensor(feats=f, zmask=z, keys=k, mask=m, grid=grid,
+                        c=feats.shape[-1])
 
 
 class MaskedBatchNorm(nn.Module):
@@ -110,6 +122,46 @@ class MaskedBatchNorm(nn.Module):
         return jnp.where(mask[..., None], y, 0.0)
 
 
+class MaskedBatchNormFlat(nn.Module):
+    """MaskedBatchNorm for FLAT (B, N, D*C) column rows.
+
+    Same (C,)-shaped parameters, collection names and statistics as
+    MaskedBatchNorm (variables are interchangeable across backends); the
+    normalization runs directly on flat rows with z-tiled parameters so
+    no lane-padded (..., C) tensor is ever materialized.
+    ``maskf`` is the (B, N, D*C) float site-mask from expand_site_mask.
+    """
+
+    channels: int
+    eps: float = 1e-3
+    momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, x, maskf, train: bool):
+        c = self.channels
+        d = x.shape[-1] // c
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            xm = x * maskf
+            n = jnp.maximum(maskf.sum() / c, 1.0)
+            mean = xm.sum(axis=(0, 1)).reshape(d, c).sum(0) / n
+            ex2 = (xm * x).sum(axis=(0, 1)).reshape(d, c).sum(0) / n
+            var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        g = jax.lax.rsqrt(var + self.eps) * scale
+        b2 = bias - mean * g
+        return x * jnp.tile(g, d) + jnp.tile(b2, d)
+
+
 class SubMConv(nn.Module):
     """Submanifold sparse conv: output sites == input sites.
 
@@ -125,7 +177,7 @@ class SubMConv(nn.Module):
     @nn.compact
     def __call__(self, st, train: bool, rb=None):
         k = int(np.prod(self.kernel))
-        cin = st.feats.shape[-1]
+        cin = st.c if isinstance(st, ColumnTensor) else st.feats.shape[-1]
         pad = tuple(s // 2 for s in self.kernel)
         w = self.param(
             "kernel",
@@ -134,17 +186,23 @@ class SubMConv(nn.Module):
         )
         if isinstance(st, ColumnTensor):
             cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
-            out, _ = jax.vmap(
-                lambda f, z, kk, m: csp.column_conv(
-                    f, z, kk, m, w, st.grid, self.kernel, (1, 1, 1), pad,
-                    compute_dtype=cdt,
+            d = st.grid[0]
+            if rb is None:
+                rb = csp.build_bev_rulebook_batched(
+                    st.keys, st.mask, (st.grid[1], st.grid[2]),
+                    (self.kernel[1], self.kernel[2]), (1, 1), (pad[1], pad[2]),
                 )
-            )(st.feats, st.zmask, st.keys, st.mask)
-            b, ncol, d, c = out.shape
-            site_mask = (st.zmask & st.mask[..., None]).reshape(b, ncol * d)
-            out = MaskedBatchNorm()(out.reshape(b, ncol * d, c), site_mask, train)
-            out = jnp.where(site_mask[..., None], nn.relu(out), 0.0)
-            return st.replace(feats=out.reshape(b, ncol, d, c))
+            out = csp.column_conv_batched(
+                st.feats, rb, w, self.kernel, d, cin, 1, pad[0],
+                compute_dtype=cdt,
+            )  # (B, N, D*Cout) f32
+            site = st.zmask & st.mask[..., None]
+            maskf = csp.expand_site_mask(site, self.features)
+            out = MaskedBatchNormFlat(
+                channels=self.features, name="MaskedBatchNorm_0"
+            )(out, maskf, train)
+            out = (nn.relu(out) * maskf).astype(cdt)
+            return st.replace(feats=out, c=self.features)
         cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         if rb is None:
             rb = sp.build_rulebook_batched(
@@ -169,7 +227,7 @@ class SparseConvDown(nn.Module):
     @nn.compact
     def __call__(self, st, train: bool):
         k = int(np.prod(self.kernel))
-        cin = st.feats.shape[-1]
+        cin = st.c if isinstance(st, ColumnTensor) else st.feats.shape[-1]
         out_grid = sp.out_grid_shape(st.grid, self.kernel, self.stride, self.pad)
         w = self.param(
             "kernel",
@@ -181,30 +239,40 @@ class SparseConvDown(nn.Module):
             kyx = (self.kernel[1], self.kernel[2])
             syx = (self.stride[1], self.stride[2])
             pyx = (self.pad[1], self.pad[2])
+            in_hw = (st.grid[1], st.grid[2])
             out_hw = (out_grid[1], out_grid[2])
+            cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
-            def one_col(f, z, kk, m):
-                ok, om = csp.downsample_bev_columns(
-                    kk, m, st.grid, kyx, syx, pyx, self.out_cap, out_hw
-                )
-                cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
-                of, oz = csp.column_conv(
-                    f, z, kk, m, w, st.grid, self.kernel, self.stride,
-                    self.pad, out_keys=ok, out_mask=om, out_grid=out_grid,
-                    compute_dtype=cdt,
-                )
-                return of, oz, ok, om
-
-            of, oz, ok, om = jax.vmap(one_col)(
-                st.feats, st.zmask, st.keys, st.mask
+            if kyx == (1, 1) and syx == (1, 1):
+                # BEV-identity down conv (e.g. the (3,1,1)-kernel stage):
+                # the active column set is unchanged
+                ok, om = st.keys, st.mask
+            else:
+                ok, om = jax.vmap(
+                    lambda kk, m: csp.downsample_bev_columns(
+                        kk, m, st.grid, kyx, syx, pyx, self.out_cap, out_hw
+                    )
+                )(st.keys, st.mask)
+            rb = csp.build_bev_rulebook_batched(
+                st.keys, st.mask, in_hw, kyx, syx, pyx,
+                out_keys=ok, out_mask=om, out_hw=out_hw,
             )
-            b, ncol, d, c = of.shape
-            site_mask = (oz & om[..., None]).reshape(b, ncol * d)
-            of = MaskedBatchNorm()(of.reshape(b, ncol * d, c), site_mask, train)
-            of = jnp.where(site_mask[..., None], nn.relu(of), 0.0)
+            of = csp.column_conv_batched(
+                st.feats, rb, w, self.kernel, st.grid[0], cin,
+                self.stride[0], self.pad[0], compute_dtype=cdt,
+            )  # (B, M, D_out*Cout) f32
+            oz = csp.column_occupancy_batched(
+                st.zmask, rb, self.kernel, self.stride[0], self.pad[0]
+            )
+            site = oz & om[..., None]
+            maskf = csp.expand_site_mask(site, self.features)
+            of = MaskedBatchNormFlat(
+                channels=self.features, name="MaskedBatchNorm_0"
+            )(of, maskf, train)
+            of = (nn.relu(of) * maskf).astype(cdt)
             return ColumnTensor(
-                feats=of.reshape(b, ncol, d, c), zmask=oz, keys=ok, mask=om,
-                grid=out_grid,
+                feats=of, zmask=oz, keys=ok, mask=om, grid=out_grid,
+                c=self.features,
             )
 
         # NOTE: the dense-grid batched variant (downsample_active_set_batched)
@@ -234,9 +302,9 @@ def to_bev(st) -> jax.Array:
     ``view(N, C*D, H, W)`` on an NCDHW dense tensor (sparse_cnn.py:128-133).
     """
     if isinstance(st, ColumnTensor):
-        return jax.vmap(
-            lambda f, z, k, m: csp.columns_to_bev(f, z, k, m, st.grid)
-        )(st.feats, st.zmask, st.keys, st.mask)
+        return csp.columns_to_bev_batched(
+            st.feats, st.zmask, st.keys, st.mask, st.grid, st.c
+        )
     dense = jax.vmap(lambda f, k, m: sp.to_dense(f, k, m, st.grid))(
         st.feats, st.keys, st.mask
     )  # (B, D, H, W, C)
@@ -298,6 +366,11 @@ class SpMiddleFHD(nn.Module):
             if subm_channels and isinstance(x, SparseTensor):
                 rb = sp.build_rulebook_batched(
                     x.keys, x.mask, x.grid, (3, 3, 3), (1, 1, 1), (1, 1, 1)
+                )
+            elif subm_channels and isinstance(x, ColumnTensor):
+                rb = csp.build_bev_rulebook_batched(
+                    x.keys, x.mask, (x.grid[1], x.grid[2]), (3, 3), (1, 1),
+                    (1, 1),
                 )
             for ch in subm_channels:
                 x = SubMConv(features=ch, dtype=dt)(x, train, rb=rb)

@@ -27,9 +27,217 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vision3d_tpu.ops import sparse as sp
+
 
 def bev_sentinel(grid) -> int:
     return grid[1] * grid[2]
+
+
+# ---------------------------------------------------------------------------
+# Batched fast path (the production CNN route).
+#
+# Per-sample ops below are kept for tests/conversions, but the model runs
+# on these batched variants, built around two measured TPU facts:
+#
+#   * flat batch-wide gathers (vmapped gathers lower to a ~4x slower
+#     batched GatherOp), with dense BEV perfect-hash lookup tables (tiny
+#     at BEV resolution: B*H*W <= 18M cells vs 740M for the 3D voxel
+#     table at stage 0);
+#
+#   * TPU tiles the two minor dims of every materialized tensor to
+#     (8, 128) — any array whose minor dim is the channel count (16-64)
+#     is padded up to 128 lanes, an up-to-8x memory/traffic blowup (a
+#     1.9GB logical (B*M, 9, 41, 16) gather materialized 17.7GB). So the
+#     batched path NEVER materializes a (..., D, C) or (..., C) column
+#     tensor: features live FLAT as (B, N, D*C) rows (minor dim ~0.7-6k,
+#     <2% pad), the conv is one GEMM against a block-banded weight, and
+#     batch-norm/relu/masking are expressed directly on flat rows
+#     (z-tiled parameters, mask expansion via a tiny 0/1 matmul).
+# ---------------------------------------------------------------------------
+
+
+def build_bev_rulebook_batched(col_keys, col_mask, hw, kernel_yx,
+                               stride_yx=(1, 1), pad_yx=(0, 0),
+                               out_keys=None, out_mask=None, out_hw=None):
+    """BEV neighbor-column rulebook with zero-row routing.
+
+    col_keys/col_mask (B, N) describe the INPUT columns on BEV grid ``hw``;
+    out_keys/out_mask (B, M) the output columns on ``out_hw`` (default: the
+    input set, submanifold case). Returns (B, M*K2) int32 in [0, N]: found
+    neighbor columns point at their row, misses and padded outputs at row N
+    (callers append a zero row to the column-feature table).
+    K2 = ky*kx is minor, (dy, dx) row-major — matching the weight layout
+    after its z-major axis is factored out (see column_conv_batched).
+    """
+    if out_keys is None:
+        out_keys, out_mask, out_hw = col_keys, col_mask, hw
+    b, n = col_keys.shape
+    h, w = hw
+    oh, ow = out_hw
+    ky, kx = kernel_yx
+    oy = jnp.where(out_mask, out_keys // ow, 0)
+    ox = jnp.where(out_mask, out_keys % ow, 0)
+    offs = np.stack(
+        np.meshgrid(np.arange(ky), np.arange(kx), indexing="ij"), -1
+    ).reshape(-1, 2)  # (K2, 2) static
+    ny = oy[:, :, None] * stride_yx[0] - pad_yx[0] + jnp.asarray(offs)[:, 0]
+    nx = ox[:, :, None] * stride_yx[1] - pad_yx[1] + jnp.asarray(offs)[:, 1]
+    ok = (
+        (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w) & out_mask[:, :, None]
+    )
+    nkey = jnp.where(ok, ny * w + nx, h * w)
+    idx, found = sp.lookup_keys_batched(
+        col_keys, col_mask, nkey.reshape(b, -1), (1, h, w)
+    )
+    return jnp.where(found, idx, n).astype(jnp.int32)
+
+
+def _z_band_mask(d, d_out, kz, stride_z, pad_z):
+    """Static (D, D_out, kz) 0/1 mask: input z feeds output zo at kernel
+    offset dz iff z == zo*stride - pad + dz."""
+    z = np.arange(d)[:, None, None]
+    zo = np.arange(d_out)[None, :, None]
+    dz = np.arange(kz)[None, None, :]
+    return (z == zo * stride_z - pad_z + dz).astype(np.float32)
+
+
+def column_conv_batched(col_feats, rb_idx, weight, kernel, d, c, stride_z=1,
+                        pad_z=0, compute_dtype=jnp.float32):
+    """Rulebook gather + ONE block-banded GEMM on FLAT column rows.
+
+    col_feats (B, N, D*C) flat z-major rows; rb_idx (B, M*K2) routes
+    misses to the appended zero row N. weight is the shared (K*Cin, Cout)
+    layout, K = (dz*ky + dy)*kx + dx row-major (ops/sparse.py convention).
+    Returns (B, M, D_out*Cout) flat f32.
+
+    The gathered neighborhood stays flat — one take of (D*C)-contiguous
+    rows -> (B*M, K2*D*C), minor dim ~6k so tile padding is <2% — and the
+    entire conv (z window x BEV taps x channel mix) is one GEMM against a
+    block-banded matrix W[(k2,z,c),(zo,co)] = w[k2, z-zo*s+p, c, co]
+    (zero off-band). That wastes D/kz in FLOPs over a dense-z im2col, but
+    the MXU runs the big well-shaped GEMM far cheaper than index-bound
+    gathers or lane-padded conv forms (see module header).
+    """
+    b, n, _ = col_feats.shape
+    kz, ky, kx = kernel
+    k2 = ky * kx
+    m = rb_idx.shape[1] // k2
+    cout = weight.shape[1]
+    d_out = (d + 2 * pad_z - kz) // stride_z + 1
+
+    table = jnp.concatenate(
+        [col_feats, jnp.zeros((b, 1, d * c), col_feats.dtype)], axis=1
+    ).astype(compute_dtype)
+    flat = (rb_idx + jnp.arange(b, dtype=jnp.int32)[:, None] * (n + 1)).reshape(-1)
+    g = jnp.take(table.reshape(b * (n + 1), d * c), flat, axis=0)
+    g = g.reshape(b * m, k2 * d * c)  # layout-trivial: rows stay contiguous
+
+    band = jnp.asarray(_z_band_mask(d, d_out, kz, stride_z, pad_z))
+    w4 = weight.reshape(kz, k2, c, cout).transpose(1, 0, 2, 3)  # (K2,kz,C,Cout)
+    wbig = jnp.einsum("zod,kdcf->kzcof", band, w4.astype(jnp.float32))
+    wbig = wbig.reshape(k2 * d * c, d_out * cout).astype(compute_dtype)
+
+    out = jnp.dot(g, wbig, preferred_element_type=jnp.float32)
+    return out.reshape(b, m, d_out * cout)
+
+
+def column_occupancy_batched(zmask, rb_idx, kernel, stride_z=1, pad_z=0):
+    """Output-site activity of a strided conv: any active input voxel in
+    the receptive field (spconv semantics). Same rulebook as the features;
+    implemented as the ones-kernel instance of column_conv_batched.
+    zmask (B, N, D) bool -> (B, M, D_out) bool."""
+    kz, ky, kx = kernel
+    d = zmask.shape[-1]
+    ones = jnp.ones((kz * ky * kx * 1, 1), jnp.bfloat16)
+    occ = column_conv_batched(
+        zmask.astype(jnp.bfloat16), rb_idx, ones, kernel, d, 1,
+        stride_z, pad_z, compute_dtype=jnp.bfloat16,
+    )
+    return occ > 0.5
+
+
+def columns_from_voxels_batched(feats, coords, mask, grid, ncol_cap):
+    """Batched voxelizer output -> FLAT column tensor.
+
+    feats (B, N, C), coords (B, N, 3) ZYX, mask (B, N) ->
+    (col_feats (B, Ncap, D*C), zmask (B, Ncap, D), col_keys (B, Ncap)
+    sorted ascending, col_mask (B, Ncap)).
+
+    Column ids come from a dense BEV occupancy grid + cumsum rank (no
+    sorts), so columns are ordered by ascending BEV key with lowest keys
+    kept on capacity overflow — the same deterministic truncation as the
+    per-sample sort-based builder. Features land via a 1-D elementwise
+    scatter (a (rows, C) scatter target with C of 4-16 would be
+    lane-padded up to 32x, see module header).
+    """
+    d, h, w = grid
+    b, n, c = feats.shape
+    hw = h * w
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    bev = jnp.where(mask, coords[:, :, 1] * w + coords[:, :, 2], hw)
+    occ = jnp.zeros((b * (hw + 1),), bool).at[
+        (bidx * (hw + 1) + bev).reshape(-1)
+    ].set(True, mode="drop").reshape(b, hw + 1)[:, :hw]
+    rank = jnp.cumsum(occ.astype(jnp.int32), axis=1) - 1
+    vcol = jnp.take_along_axis(rank, jnp.minimum(bev, hw - 1), axis=1)
+    vcol = jnp.where(mask & (vcol < ncol_cap), vcol, ncol_cap)
+
+    flat_col = (bidx * (ncol_cap + 1) + vcol).reshape(-1)
+    col_keys = jnp.full((b * (ncol_cap + 1),), hw, jnp.int32).at[flat_col].set(
+        jnp.where(mask, bev, hw).reshape(-1), mode="drop"
+    ).reshape(b, ncol_cap + 1)[:, :ncol_cap]
+    col_mask = col_keys < hw
+
+    z = jnp.where(mask, coords[:, :, 0], 0)
+    zmask = jnp.zeros((b * (ncol_cap + 1) * d,), bool).at[
+        (flat_col * d + z.reshape(-1))
+    ].set(mask.reshape(-1), mode="drop").reshape(b, ncol_cap + 1, d)[:, :ncol_cap]
+
+    el = (flat_col * d + z.reshape(-1))[:, None] * c + jnp.arange(c)
+    col_feats = jnp.zeros((b * (ncol_cap + 1) * d * c,), feats.dtype).at[
+        el.reshape(-1)
+    ].set(
+        jnp.where(mask[..., None], feats, 0.0).reshape(-1), mode="drop"
+    ).reshape(b, ncol_cap + 1, d * c)[:, :ncol_cap]
+    return col_feats, zmask, col_keys, col_mask
+
+
+def expand_site_mask(zmask, c, dtype=jnp.float32):
+    """(B, N, D) bool site mask -> (B, N, D*C) flat float multiplier.
+
+    Expansion runs as a (B*N, D) x (D, D*C) matmul against a static 0/1
+    matrix instead of broadcast+reshape, which would materialize a
+    (B, N, D, C) intermediate in lane-padded layout (see module header).
+    """
+    b, n, d = zmask.shape
+    e = np.kron(np.eye(d, dtype=np.float32), np.ones((1, c), np.float32))
+    return jnp.dot(
+        zmask.reshape(b * n, d).astype(dtype), jnp.asarray(e, dtype)
+    ).reshape(b, n, d * c)
+
+
+def columns_to_bev_batched(col_feats, zmask, col_keys, col_mask, grid, c):
+    """Batched scatter of FLAT columns into dense (B, H, W, C*D) BEV maps,
+    (C, D) c-major flattening like the reference's view(N, C*D, H, W).
+
+    Only runs once, at the final (tiny: D=2) stage, so the per-row
+    (D, C) -> (C, D) transpose's padded layout is immaterial here.
+    """
+    d, h, w = grid
+    b, n, _ = col_feats.shape
+    feats = col_feats.reshape(b, n, d, c) * zmask[..., None].astype(
+        col_feats.dtype
+    )
+    flat = jnp.transpose(feats, (0, 1, 3, 2)).reshape(b * n, c * d)
+    idx = jnp.where(col_mask, col_keys, h * w) + (
+        jnp.arange(b, dtype=jnp.int32) * (h * w + 1)
+    )[:, None]
+    dense = jnp.zeros((b * (h * w + 1), c * d), col_feats.dtype)
+    dense = dense.at[idx.reshape(-1)].set(flat, mode="drop")
+    return dense.reshape(b, h * w + 1, c * d)[:, : h * w].reshape(
+        b, h, w, c * d
+    )
 
 
 @partial(jax.jit, static_argnames=("grid", "ncol_cap"))
