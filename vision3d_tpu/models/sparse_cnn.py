@@ -225,7 +225,7 @@ class SparseConvDown(nn.Module):
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, st, train: bool):
+    def __call__(self, st, train: bool, plan=None):
         k = int(np.prod(self.kernel))
         cin = st.c if isinstance(st, ColumnTensor) else st.feats.shape[-1]
         out_grid = sp.out_grid_shape(st.grid, self.kernel, self.stride, self.pad)
@@ -279,16 +279,14 @@ class SparseConvDown(nn.Module):
         # measured far slower here — its full-output-grid scatter hits the
         # ~6.4ns/element random-access wall (47M elements at stage 0); the
         # per-sample 27N-candidate sort is ~8ms total for the whole batch.
-        ok, om = jax.vmap(
-            lambda kk, m: sp.downsample_active_set(
-                kk, m, st.grid, self.kernel, self.stride, self.pad, self.out_cap
+        if plan is None:
+            _, rb, ok, om = sp.plan_stage_batched(
+                st.keys, st.mask, st.grid, self.kernel, self.stride,
+                self.pad, self.out_cap
             )
-        )(st.keys, st.mask)
+        else:
+            rb, ok, om = plan
         cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
-        rb = sp.build_rulebook_batched(
-            st.keys, st.mask, out_grid, self.kernel, self.stride, self.pad,
-            out_keys=ok, out_mask=om, in_grid=st.grid,
-        )
         of = sp.conv_rulebook_apply(st.feats, rb, w, compute_dtype=cdt)
         of = MaskedBatchNorm()(of, om, train)
         of = jnp.where(om[..., None], nn.relu(of), 0.0)
@@ -362,11 +360,19 @@ class SpMiddleFHD(nn.Module):
             # submanifold layers in a block share the active set, so the
             # neighbor rulebook is built once per block (spconv shares via
             # indice_key, reference sparse_cnn.py:154-172)
-            rb = None
-            if subm_channels and isinstance(x, SparseTensor):
-                rb = sp.build_rulebook_batched(
-                    x.keys, x.mask, x.grid, (3, 3, 3), (1, 1, 1), (1, 1, 1)
+            rb = plan = None
+            if isinstance(x, SparseTensor):
+                # ONE dense-table build and ONE merged query gather per
+                # stage, covering the (block-shared, spconv indice_key
+                # style) subm rulebook and the down-conv rulebook: a
+                # second query gather into the same table in one program
+                # measured ~15x slower (see sp.plan_stage_batched).
+                rb, rbd, ok, om = sp.plan_stage_batched(
+                    x.keys, x.mask, x.grid, down["kernel"], down["stride"],
+                    down["pad"], down["out_cap"],
+                    subm_kernel=(3, 3, 3) if subm_channels else None,
                 )
+                plan = (rbd, ok, om)
             elif subm_channels and isinstance(x, ColumnTensor):
                 rb = csp.build_bev_rulebook_batched(
                     x.keys, x.mask, (x.grid[1], x.grid[2]), (3, 3), (1, 1),
@@ -374,7 +380,7 @@ class SpMiddleFHD(nn.Module):
                 )
             for ch in subm_channels:
                 x = SubMConv(features=ch, dtype=dt)(x, train, rb=rb)
-            x = SparseConvDown(dtype=dt, **down)(x, train)
+            x = SparseConvDown(dtype=dt, **down)(x, train, plan=plan)
             scales.append(x)
         bev = to_bev(scales[-1])
         scales = scales[:-1]

@@ -191,7 +191,38 @@ def to_dense(feats, keys, mask, grid):
 DENSE_LOOKUP_MAX_CELLS = 1_200_000_000
 
 
-def lookup_keys_batched(keys, mask, queries, grid):
+def _dense_table_dtype(b, n, grid):
+    s = sentinel_key(grid)
+    if n < 32_767:
+        return jnp.int16 if b * s <= DENSE_LOOKUP_MAX_CELLS else None
+    return jnp.int32 if b * s <= DENSE_LOOKUP_MAX_CELLS // 3 else None
+
+
+def build_dense_table(keys, mask, grid):
+    """Dense grid-cell -> row perfect-hash table, (B*(S+1),) int16/int32
+    with -1 for empty cells; None if the grid is too large.
+
+    Build this ONCE per active set and pass it to every
+    lookup_keys_batched / build_rulebook_batched consumer of that set
+    (a stage's submanifold rulebook, its down-conv rulebook, ...): the
+    fill+scatter is the expensive part at full resolution (~1.5GB).
+    """
+    b, n = keys.shape
+    s = sentinel_key(grid)
+    dt = _dense_table_dtype(b, n, grid)
+    if dt is None:
+        return None
+    table = jnp.full((b * (s + 1),), -1, dt)
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=dt), (b, n))
+    flat_keys = jnp.where(mask, keys, s) + (
+        jnp.arange(b, dtype=jnp.int32) * (s + 1)
+    )[:, None]
+    return table.at[flat_keys.reshape(-1)].set(
+        jnp.where(mask, rows, -1).reshape(-1), mode="drop"
+    )
+
+
+def lookup_keys_batched(keys, mask, queries, grid, table=None):
     """Find each query key's row in the per-sample sorted key arrays.
 
     keys (B, N) sorted with sentinel padding, mask (B, N),
@@ -200,23 +231,15 @@ def lookup_keys_batched(keys, mask, queries, grid):
 
     Uses a dense grid-cell -> row table (a perfect hash, the TPU analog of
     spconv's hash rulebooks) when the grid fits, else sort-based search.
+    Pass a prebuilt ``table`` (build_dense_table) to share one build
+    across several query sets of the same active set.
     """
     b, n = keys.shape
     q = queries.shape[1]
     s = sentinel_key(grid)
-    if n < 32_767:
-        dt = jnp.int16 if b * s <= DENSE_LOOKUP_MAX_CELLS else None
-    else:
-        dt = jnp.int32 if b * s <= DENSE_LOOKUP_MAX_CELLS // 3 else None
-    if dt is not None:
-        table = jnp.full((b * (s + 1),), -1, dt)
-        rows = jnp.broadcast_to(jnp.arange(n, dtype=dt), (b, n))
-        flat_keys = jnp.where(mask, keys, s) + (
-            jnp.arange(b, dtype=jnp.int32) * (s + 1)
-        )[:, None]
-        table = table.at[flat_keys.reshape(-1)].set(
-            jnp.where(mask, rows, -1).reshape(-1), mode="drop"
-        )
+    if table is None:
+        table = build_dense_table(keys, mask, grid)
+    if table is not None:
         flat_q = jnp.minimum(queries, s) + (
             jnp.arange(b, dtype=jnp.int32) * (s + 1)
         )[:, None]
@@ -295,21 +318,12 @@ def sparse_conv_apply_batched(feats, keys, mask, weight, grid, kernel,
     return jnp.where(m[..., None], out, 0.0)
 
 
-def build_rulebook_batched(keys, mask, grid, kernel, stride=(1, 1, 1),
-                           pad=(0, 0, 0), out_keys=None, out_mask=None,
-                           in_grid=None):
-    """Neighbor-index rulebook with zero-row routing (built ONCE per stage).
-
-    Returns idx (B, N_out * K) int32 in [0, N]: found neighbors point at
-    their feature row, misses and padded outputs point at row N — callers
-    append a zero row to the feature table so no float masking pass is
-    needed after the gather (the miss contribution is exactly zero).
-    K is minor (torch kernel-offset order), matching weight layout.
-    """
-    if out_keys is None:
-        out_keys, out_mask, in_grid = keys, mask, grid
-    b, n = keys.shape
-    d, h, w = grid
+def neighbor_queries(out_keys, out_mask, out_grid, in_grid, kernel,
+                     stride=(1, 1, 1), pad=(0, 0, 0)):
+    """(B, N_out*K) neighbor key queries (sentinel for out-of-bounds/pad),
+    K minor in torch kernel-offset order."""
+    b = out_keys.shape[0]
+    d, h, w = out_grid
     ok = jnp.where(out_mask, out_keys, 0)
     oz = ok // (h * w)
     oy = (ok // w) % h
@@ -325,9 +339,64 @@ def build_rulebook_batched(keys, mask, grid, kernel, stride=(1, 1, 1),
     di, hi, wi = in_grid
     nkey = (nbr[..., 0] * hi + nbr[..., 1]) * wi + nbr[..., 2]
     nkey = jnp.where(in_bounds, nkey, sentinel_key(in_grid))
+    return nkey.reshape(b, -1)
 
-    idx, found = lookup_keys_batched(keys, mask, nkey.reshape(b, -1), in_grid)
+
+def build_rulebook_batched(keys, mask, grid, kernel, stride=(1, 1, 1),
+                           pad=(0, 0, 0), out_keys=None, out_mask=None,
+                           in_grid=None, table=None):
+    """Neighbor-index rulebook with zero-row routing (built ONCE per stage).
+
+    Returns idx (B, N_out * K) int32 in [0, N]: found neighbors point at
+    their feature row, misses and padded outputs point at row N — callers
+    append a zero row to the feature table so no float masking pass is
+    needed after the gather (the miss contribution is exactly zero).
+    K is minor (torch kernel-offset order), matching weight layout.
+    """
+    if out_keys is None:
+        out_keys, out_mask, in_grid = keys, mask, grid
+    b, n = keys.shape
+    nkey = neighbor_queries(out_keys, out_mask, grid, in_grid, kernel,
+                            stride, pad)
+    idx, found = lookup_keys_batched(keys, mask, nkey, in_grid, table=table)
     return jnp.where(found, idx, n).astype(jnp.int32)
+
+
+def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
+                       out_cap, subm_kernel=None):
+    """Per-stage rulebook plan with ONE merged lookup.
+
+    Computes the down-conv active output set plus BOTH the submanifold
+    rulebook and the down-conv rulebook via a single dense-table build and
+    a single merged query gather. Measured (v5e): a SECOND query gather
+    into the same stage's table within one program runs ~15x slower than
+    the first (162 vs 57 ms for SECOND's stage 0), so the two query sets
+    are concatenated and looked up together.
+
+    Returns (rb_subm or None, rb_down, out_keys, out_mask).
+    """
+    b, n = keys.shape
+    out_grid = out_grid_shape(grid, down_kernel, down_stride, down_pad)
+    table = build_dense_table(keys, mask, grid)
+    out_keys, out_mask = jax.vmap(
+        lambda kk, mm: downsample_active_set(
+            kk, mm, grid, down_kernel, down_stride, down_pad, out_cap
+        )
+    )(keys, mask)
+    qd = neighbor_queries(out_keys, out_mask, out_grid, grid, down_kernel,
+                          down_stride, down_pad)
+    if subm_kernel is None:
+        idx, found = lookup_keys_batched(keys, mask, qd, grid, table=table)
+        rbd = jnp.where(found, idx, n).astype(jnp.int32)
+        return None, rbd, out_keys, out_mask
+    pad_s = tuple(s // 2 for s in subm_kernel)
+    qs = neighbor_queries(keys, mask, grid, grid, subm_kernel, (1, 1, 1),
+                          pad_s)
+    idx, found = lookup_keys_batched(
+        keys, mask, jnp.concatenate([qs, qd], axis=1), grid, table=table
+    )
+    rball = jnp.where(found, idx, n).astype(jnp.int32)
+    return rball[:, : qs.shape[1]], rball[:, qs.shape[1]:], out_keys, out_mask
 
 
 def conv_rulebook_apply(feats, rb_idx, weight, compute_dtype=jnp.float32):
