@@ -37,7 +37,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3, help="timed repetitions; best is kept")
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--dtype", default="float32")
+    # bf16 compute is the TPU-idiomatic production setting (params, BN and
+    # accumulation stay f32); pass --dtype float32 for bit-strict runs
+    ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
     import jax

@@ -77,15 +77,29 @@ def voxelize(points, num_points, cfg: Config):
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     seg = jnp.cumsum(first) - 1                  # segment id per sorted point
     pos = jnp.arange(P)
-    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, pos, 0))
-    slot = pos - seg_start                       # first-come slot within voxel
+    # first sorted-position of each segment via scatter-min (equivalent to
+    # a running-max associative_scan over first-flagged positions, cheaper
+    # and without the scan op in the graph)
+    seg_start_per_seg = jnp.full((P,), P, jnp.int32).at[seg].min(
+        jnp.where(first, pos, P).astype(jnp.int32)
+    )
+    slot = pos - seg_start_per_seg[seg]          # first-come slot within voxel
 
     # spconv's voxel id = rank of the segment's first point in scan order.
     big = jnp.iinfo(jnp.int32).max
     seg_first_pt = jnp.full((P,), big, jnp.int32).at[seg].min(
         jnp.where(skey < sentinel, order, big).astype(jnp.int32)
     )
-    seg_rank = jnp.argsort(jnp.argsort(seg_first_pt))
+    # rank-by-first-point without a sort: first points are distinct
+    # positions < P, so a presence scatter + exclusive cumsum ranks them
+    # (invalid segments land past the P slot and are filtered by the
+    # skey < sentinel check below)
+    fp = jnp.minimum(seg_first_pt, P)
+    present = jnp.zeros((P + 1,), jnp.int32).at[fp].set(
+        jnp.where(seg_first_pt < big, 1, 0), mode="drop"
+    )
+    crank = jnp.cumsum(present) - present        # exclusive prefix count
+    seg_rank = crank[fp]
     vox = seg_rank[seg]                          # voxel id per sorted point
 
     valid = (skey < sentinel) & (vox < N) & (slot < K)
