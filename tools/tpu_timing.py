@@ -31,14 +31,24 @@ def timeit_scanned(fn, args, iters=20, reduce_out=None):
 
     def scanned(args):
         def body(carry, _):
-            # perturb the first float leaf so iterations can't be CSE'd
+            # Perturb EVERY leaf with a data-dependent no-op so no part of
+            # fn is loop-invariant-hoisted out of the scan. Floats get
+            # carry*1e-12; ints/bools get +isnan(carry) (always 0/False at
+            # runtime, but XLA cannot prove it). Early versions perturbed
+            # only the first float leaf — every purely-integer computation
+            # (rulebook builds, sorts, lookups) was silently hoisted and
+            # measured as ~free, which fabricated a phantom "composition
+            # pathology" (see ARCHITECTURE.md round-2 notes).
+            zero_i = jnp.isnan(carry).astype(jnp.int32)
             leaves, treedef = jax.tree_util.tree_flatten(args)
             bumped = []
-            done = False
             for l in leaves:
-                if not done and jnp.issubdtype(l.dtype, jnp.floating):
-                    bumped.append(l + carry * 1e-12)
-                    done = True
+                if jnp.issubdtype(l.dtype, jnp.floating):
+                    bumped.append(l + carry.astype(l.dtype) * 1e-12)
+                elif l.dtype == jnp.bool_:
+                    bumped.append(l ^ (zero_i > 0))
+                elif jnp.issubdtype(l.dtype, jnp.integer):
+                    bumped.append(l + zero_i.astype(l.dtype))
                 else:
                     bumped.append(l)
             out = fn(*jax.tree_util.tree_unflatten(treedef, bumped))
