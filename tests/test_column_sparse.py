@@ -71,9 +71,9 @@ def test_column_conv_matches_voxel_conv(rng, kernel, stride, pad):
     d_o, h_o, w_o = ogrid
     vk = np.asarray(vkeys)[np.asarray(vmask)]
     vo = np.asarray(vout)[np.asarray(vmask)]
-    z = vk // (h_o * w_o)
-    y = (vk // w_o) % h_o
-    x = vk % w_o
+    z = vk % d_o
+    y = vk // (w_o * d_o)
+    x = (vk // d_o) % w_o
     bev = y * w_o + x
     col_of = {int(b): i for i, b in enumerate(np.asarray(okeys)) if np.asarray(omask)[i]}
     cz_np = np.asarray(cout_z)

@@ -8,6 +8,12 @@ import pytest
 from vision3d_tpu.ops import sparse as sp
 
 
+def flat_zmajor(keys, grid):
+    """Column-major keys -> flat z-major indices into a (D,H,W) raster."""
+    c = np.asarray(sp.keys_to_coords(jnp.asarray(keys), grid))
+    return (c[:, 0] * grid[1] + c[:, 1]) * grid[2] + c[:, 2]
+
+
 def random_sparse(rng, grid, n_active, cap, c_in):
     d, h, w = grid
     lin = rng.choice(d * h * w, size=n_active, replace=False)
@@ -49,7 +55,7 @@ def test_subm_conv_matches_dense(rng, kernel):
     ref = dense_conv(jnp.asarray(dense_in), weight, kernel, (1, 1, 1), pad)
     kk = np.asarray(k)
     mm = np.asarray(m)
-    ref_at = np.asarray(ref).reshape(-1, cout)[kk[mm]]  # sentinel keys masked out
+    ref_at = np.asarray(ref).reshape(-1, cout)[flat_zmajor(kk[mm], grid)]
     np.testing.assert_allclose(
         np.asarray(out)[mm], ref_at, rtol=2e-4, atol=2e-4
     )
@@ -80,15 +86,16 @@ def test_strided_conv_matches_dense(rng, kernel, stride, pad):
     dense_in = sp.to_dense(f, k, m, grid)
     ref = np.asarray(dense_conv(dense_in, weight, kernel, stride, pad))
     ref_flat = ref.reshape(-1, cout)
+    ok_flat = flat_zmajor(np.asarray(ok)[np.asarray(om)], out_grid)
     np.testing.assert_allclose(
         np.asarray(out)[np.asarray(om)],
-        ref_flat[np.asarray(ok)[np.asarray(om)]],
+        ref_flat[ok_flat],
         rtol=2e-4, atol=2e-4,
     )
     # active output set covers every nonzero dense site
     nz = np.abs(ref_flat).sum(-1) > 1e-6
     active = np.zeros(len(ref_flat), bool)
-    active[np.asarray(ok)[np.asarray(om)]] = True
+    active[ok_flat] = True
     assert not (nz & ~active).any(), "dense conv nonzero outside active set"
 
 

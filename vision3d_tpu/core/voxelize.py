@@ -67,8 +67,9 @@ def voxelize(points, num_points, cfg: Config):
     dims = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
     in_range = ((cxyz >= 0) & (cxyz < dims)).all(axis=1)
     in_range &= jnp.arange(P) < num_points
-    # ZYX-major linear key; invalid points get the sentinel key (sorts last).
-    key = (cxyz[:, 2] * ny + cxyz[:, 1]) * nx + cxyz[:, 0]
+    # column-major linear key ((y, x, z) row-major, matching
+    # ops/sparse.py coords_to_keys); invalid points get the sentinel
+    key = (cxyz[:, 1] * nx + cxyz[:, 0]) * nz + cxyz[:, 2]
     sentinel = nz * ny * nx
     key = jnp.where(in_range, key, sentinel)
 
@@ -113,9 +114,9 @@ def voxelize(points, num_points, cfg: Config):
         valid.astype(jnp.int32), mode="drop"
     )
     skey_c = jnp.where(skey < sentinel, skey, 0)
-    cz = skey_c // (ny * nx)
-    cy = (skey_c // nx) % ny
-    cx = skey_c % nx
+    cz = skey_c % nz
+    cy = skey_c // (nx * nz)
+    cx = (skey_c // nz) % nx
     coords_sorted = jnp.stack([cz, cy, cx], axis=-1)
     coords = jnp.zeros((N, 3), jnp.int32).at[vidx].set(
         jnp.where(valid[:, None], coords_sorted, 0), mode="drop"

@@ -431,6 +431,6 @@ def columns_to_voxels(col_feats, zmask, col_keys, col_mask, grid, cap: int):
     valid = site_mask[sel]
     y = col_keys[ci] // w
     x = col_keys[ci] % w
-    keys = jnp.where(valid, (zi * h + y) * w + x, d * h * w)
+    keys = jnp.where(valid, (y * w + x) * d + zi, d * h * w)
     feats = jnp.where(valid[:, None], feats, 0.0)
     return feats, keys.astype(jnp.int32), valid

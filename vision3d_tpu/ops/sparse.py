@@ -36,16 +36,22 @@ def sentinel_key(grid) -> int:
 
 
 def coords_to_keys(coords, grid):
-    """(N, 3) int32 ZYX -> (N,) int32 linear keys."""
+    """(N, 3) int32 ZYX -> (N,) int32 COLUMN-MAJOR linear keys.
+
+    Key layout is (y, x, z) row-major — z is the MINOR digit — so one BEV
+    column's D cells are contiguous in key space. Sorting by key groups
+    columns together (locality for BEV-structured lookups) and makes the
+    dense cell->row table z-minor so a column's D slots form one row.
+    """
     d, h, w = grid
-    return (coords[:, 0] * h + coords[:, 1]) * w + coords[:, 2]
+    return (coords[:, 1] * w + coords[:, 2]) * d + coords[:, 0]
 
 
 def keys_to_coords(keys, grid):
     d, h, w = grid
-    z = keys // (h * w)
-    y = (keys // w) % h
-    x = keys % w
+    z = keys % d
+    y = keys // (w * d)
+    x = (keys // d) % w
     return jnp.stack([z, y, x], axis=-1)
 
 
@@ -92,7 +98,7 @@ def gather_neighbors(feats, keys, mask, grid, kernel, stride=(1, 1, 1),
     nbr = coords[None, :, :] * stride_a - pad_a + jnp.asarray(offs)[:, None, :]
     in_bounds = ((nbr >= 0) & (nbr < dims)).all(-1) & out_mask[None, :]
     d, h, w = in_grid
-    nkey = (nbr[..., 0] * h + nbr[..., 1]) * w + nbr[..., 2]
+    nkey = (nbr[..., 1] * w + nbr[..., 2]) * d + nbr[..., 0]
     nkey = jnp.where(in_bounds, nkey, sentinel_key(in_grid))
 
     # method='sort' is ~45x faster than the default bisection on TPU for
@@ -166,7 +172,7 @@ def downsample_active_set(keys, mask, in_grid, kernel, stride, pad, out_cap):
         & (o < jnp.asarray(og, jnp.int32)).all(-1)
         & mask[None, :]
     )
-    okey = (o[..., 0] * og[1] + o[..., 1]) * og[2] + o[..., 2]
+    okey = (o[..., 1] * og[2] + o[..., 2]) * og[0] + o[..., 0]
     okey = jnp.where(ok, okey, sentinel_key(og)).reshape(-1)
 
     skey = jnp.sort(okey)
@@ -184,10 +190,10 @@ def to_dense(feats, keys, mask, grid):
     """Scatter a sparse tensor to a dense (D, H, W, C) volume."""
     d, h, w = grid
     n, c = feats.shape
-    dense = jnp.zeros((d * h * w + 1, c), feats.dtype)
-    idx = jnp.where(mask, keys, d * h * w)
+    dense = jnp.zeros((h * w * d + 1, c), feats.dtype)
+    idx = jnp.where(mask, keys, h * w * d)
     dense = dense.at[idx].set(jnp.where(mask[:, None], feats, 0.0), mode="drop")
-    return dense[:-1].reshape(d, h, w, c)
+    return jnp.transpose(dense[:-1].reshape(h, w, d, c), (2, 0, 1, 3))
 
 
 # Dense-index lookups (perfect-hash tables over the grid) are used up to
@@ -285,9 +291,9 @@ def gather_neighbors_batched(feats, keys, mask, grid, kernel,
     # calls, matching gather_neighbors' convention)
     d, h, w = grid
     ok = jnp.where(out_mask, out_keys, 0)
-    oz = ok // (h * w)
-    oy = (ok // w) % h
-    ox = ok % w
+    oz = ok % d
+    oy = ok // (w * d)
+    ox = (ok // d) % w
     coords = jnp.stack([oz, oy, ox], axis=-1)  # (B, N_out, 3)
 
     offs = jnp.asarray(_kernel_offsets(kernel))          # (K, 3)
@@ -297,7 +303,7 @@ def gather_neighbors_batched(feats, keys, mask, grid, kernel,
     nbr = coords[:, :, None, :] * stride_a - pad_a + offs[None, None]
     in_bounds = ((nbr >= 0) & (nbr < dims)).all(-1) & out_mask[:, :, None]
     di, hi, wi = in_grid
-    nkey = (nbr[..., 0] * hi + nbr[..., 1]) * wi + nbr[..., 2]
+    nkey = (nbr[..., 1] * wi + nbr[..., 2]) * di + nbr[..., 0]
     nkey = jnp.where(in_bounds, nkey, sentinel_key(in_grid))  # (B, N_out, K)
 
     idx, found = lookup_keys_batched(keys, mask, nkey.reshape(b, -1), in_grid)
@@ -335,9 +341,9 @@ def neighbor_queries(out_keys, out_mask, out_grid, in_grid, kernel,
     b = out_keys.shape[0]
     d, h, w = out_grid
     ok = jnp.where(out_mask, out_keys, 0)
-    oz = ok // (h * w)
-    oy = (ok // w) % h
-    ox = ok % w
+    oz = ok % d
+    oy = ok // (w * d)
+    ox = (ok // d) % w
     coords = jnp.stack([oz, oy, ox], axis=-1)  # (B, N_out, 3)
 
     offs = jnp.asarray(_kernel_offsets(kernel))
@@ -347,7 +353,7 @@ def neighbor_queries(out_keys, out_mask, out_grid, in_grid, kernel,
     nbr = coords[:, :, None, :] * stride_a - pad_a + offs[None, None]
     in_bounds = ((nbr >= 0) & (nbr < dims)).all(-1) & out_mask[:, :, None]
     di, hi, wi = in_grid
-    nkey = (nbr[..., 0] * hi + nbr[..., 1]) * wi + nbr[..., 2]
+    nkey = (nbr[..., 1] * wi + nbr[..., 2]) * di + nbr[..., 0]
     nkey = jnp.where(in_bounds, nkey, sentinel_key(in_grid))
     return nkey.reshape(b, -1)
 
@@ -390,14 +396,16 @@ def build_zcol_table(keys, mask, grid):
     if _dense_table_dtype(b, n, grid) != jnp.int16:
         return None
     hw = h * w
-    z = jnp.where(mask, keys // hw, 0)
-    yx = jnp.where(mask, keys % hw, hw)
+    # column-major keys make the z-minor table address the key itself;
+    # keys are sorted ascending, so the build scatter is a sorted scatter
+    # (measured ~2.4x faster than unsorted on v5e)
     bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
-    addr = (bidx * (hw + 1) + yx) * d + z
+    addr = bidx * ((hw + 1) * d) + jnp.where(mask, keys, hw * d)
     rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int16), (b, n))
     tab = jnp.full((b * (hw + 1) * d,), -1, jnp.int16)
     tab = tab.at[addr.reshape(-1)].set(
-        jnp.where(mask, rows, -1).reshape(-1), mode="drop"
+        jnp.where(mask, rows, -1).reshape(-1), mode="drop",
+        indices_are_sorted=True, unique_indices=True,
     )
     return tab.reshape(b * (hw + 1), d)
 
@@ -413,11 +421,11 @@ def zcol_rulebook(ztab, n, grid, out_keys, out_mask, out_grid, kernel,
     d, h, w = grid
     hw = h * w
     kz, ky, kx = kernel
-    oh, ow = out_grid[1], out_grid[2]
+    od, oh, ow = out_grid
     ok = jnp.where(out_mask, out_keys, 0)
-    oz = ok // (oh * ow)
-    oy = (ok // ow) % oh
-    ox = ok % ow
+    oz = ok % od
+    oy = ok // (ow * od)
+    ox = (ok // od) % ow
 
     offs = np.stack(
         np.meshgrid(np.arange(ky), np.arange(kx), indexing="ij"), -1
@@ -544,7 +552,7 @@ def downsample_active_set_batched(keys, mask, in_grid, kernel, stride, pad,
         divis & (o >= 0).all(-1) & (o < jnp.asarray(og, jnp.int32)).all(-1)
         & mask[:, :, None]
     )
-    okey = (o[..., 0] * og[1] + o[..., 1]) * og[2] + o[..., 2]
+    okey = (o[..., 1] * og[2] + o[..., 2]) * og[0] + o[..., 0]
     okey = jnp.where(ok, okey, s_out)  # (B, N, K)
 
     flat = (okey + (jnp.arange(b, dtype=jnp.int32) * (s_out + 1))[:, None, None])
