@@ -378,6 +378,140 @@ def build_rulebook_batched(keys, mask, grid, kernel, stride=(1, 1, 1),
     return jnp.where(found, idx, n).astype(jnp.int32)
 
 
+def _pc16(x):
+    """Population count of an int16 treated as 16 unsigned bits."""
+    return jax.lax.population_count(x.astype(jnp.int32) & 0xFFFF)
+
+
+def build_csr(keys, mask, grid):
+    """Compact per-BEV-cell CSR records: (B*(HW+1), 4) int16.
+
+    Record = [bits0, bits1, bits2, colstart]: a 48-bit z-occupancy bitmask
+    (bit z of word z//16 set iff voxel (z, y, x) is active) plus the
+    number of active voxels in all lower BEV cells. Because keys are
+    column-major sorted, row_of(z, cell) = colstart + popcount(bits below
+    z) EXACTLY — an O(1) lookup from an 8-byte record.
+
+    The point of the 8B/cell format (vs the 82B/cell z-column table) is
+    the measured v5e table-size cliff: gathers from <= ~50MB tables run
+    ~2ns/row (VMEM-resident) vs 15-22ns from larger ones; the full KITTI
+    stage-0 CSR is 144MB batched (18MB per sample) vs 1.48GB for the
+    z-column table. Requires D <= 48 and N < 32767.
+
+    keys must be column-major sorted. The extra cell HW is an always-empty
+    sentinel for out-of-bounds queries.
+    """
+    b, n = keys.shape
+    d, h, w = grid
+    if d > 48 or n >= 32_767:
+        return None
+    hw = h * w
+    cell = jnp.where(mask, keys // d, hw)
+    z = jnp.where(mask, keys % d, 0)
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    addr = (bidx * (hw + 1) + cell) * 4 + z // 16
+    size = b * (hw + 1) * 4
+    addr = jnp.where(mask, addr, size)  # invalid rows: past-the-end (drop)
+    bits = jnp.where(mask, jnp.int32(1) << (z % 16), 0)
+
+    # Merge each (cell, word) segment's bits BEFORE scattering: scatter-ADD
+    # measured ~750ns/element on v5e (read-modify-write serialization),
+    # so instead use that disjoint bits sum like OR, take a cumsum along
+    # the sorted voxel axis, difference it at segment boundaries, and
+    # scatter-SET once per segment (sorted, unique: ~45ns/element).
+    tot = jnp.cumsum(bits, axis=1)
+    f = jnp.concatenate(
+        [jnp.ones((b, 1), bool), addr[:, 1:] != addr[:, :-1]], axis=1
+    )
+    last = jnp.concatenate(
+        [addr[:, :-1] != addr[:, 1:], jnp.ones((b, 1), bool)], axis=1
+    )
+    e = tot - bits
+    seg = jnp.cumsum(f.astype(jnp.int32), axis=1) - 1
+    e_first = jnp.zeros((b * n,), jnp.int32).at[
+        (bidx * n + jnp.where(f, seg, n - 1)).reshape(-1)
+    ].max(jnp.where(f, e, 0).reshape(-1), mode="drop").reshape(b, n)
+    val = tot - jnp.take_along_axis(e_first, seg, axis=1)
+
+    rec = jnp.zeros((size,), jnp.int16).at[
+        jnp.where(last, addr, size).reshape(-1)
+    ].set(
+        val.astype(jnp.int16).reshape(-1), mode="drop",
+        indices_are_sorted=True, unique_indices=True,
+    )
+
+    # colstart only matters at cells that can HIT (bits != 0), and because
+    # keys are column-major sorted, an active cell's colstart is just the
+    # row index of its first voxel — one more tiny sorted scatter instead
+    # of any popcount/cumsum pass over the 144MB table (a (B, HW+1, 4)
+    # reshape would be lane-padded 32x and cost ~120ms in full passes).
+    cfirst = jnp.concatenate(
+        [jnp.ones((b, 1), bool), cell[:, 1:] != cell[:, :-1]], axis=1
+    ) & mask
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    cs_addr = (bidx * (hw + 1) + cell) * 4 + 3
+    rec = rec.at[jnp.where(cfirst, cs_addr, size).reshape(-1)].set(
+        jnp.where(cfirst, rows, 0).astype(jnp.int16).reshape(-1),
+        mode="drop", indices_are_sorted=True, unique_indices=True,
+    )
+    return rec.reshape(b * (hw + 1), 4)
+
+
+def csr_rulebook(rec, n, grid, out_keys, out_mask, out_grid, kernel,
+                 stride=(1, 1, 1), pad=(0, 0, 0)):
+    """Rulebook from CSR records: 9 tiny row gathers + bit arithmetic.
+
+    Returns (B, M*K) int32, K = kz*ky*kx in (dz, dy, dx) row-major order
+    (the shared weight layout); misses route to row n.
+    """
+    b, m = out_keys.shape
+    d, h, w = grid
+    hw = h * w
+    kz, ky, kx = kernel
+    od, oh, ow = out_grid
+    ok = jnp.where(out_mask, out_keys, 0)
+    oz = ok % od
+    oy = ok // (ow * od)
+    ox = (ok // od) % ow
+
+    offs = np.stack(
+        np.meshgrid(np.arange(ky), np.arange(kx), indexing="ij"), -1
+    ).reshape(-1, 2)  # (K2, 2) static
+    ny = oy[:, :, None] * stride[1] - pad[1] + jnp.asarray(offs)[:, 0]
+    nx = ox[:, :, None] * stride[2] - pad[2] + jnp.asarray(offs)[:, 1]
+    okbev = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w) & out_mask[:, :, None]
+    cell = jnp.where(okbev, ny * w + nx, hw)  # sentinel cell on miss
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+    g = jnp.take(rec, (bidx * (hw + 1) + cell).reshape(-1), axis=0)
+    g = g.reshape(b, m, ky * kx, 4)
+    w0 = g[..., 0].astype(jnp.int32) & 0xFFFF
+    w1 = g[..., 1].astype(jnp.int32) & 0xFFFF
+    w2 = g[..., 2].astype(jnp.int32) & 0xFFFF
+    colstart = g[..., 3].astype(jnp.int32)
+
+    def below_mask(t):
+        # bits strictly below offset t within one 16-bit word, t clamped
+        tc = jnp.clip(t, 0, 16)
+        return jnp.where(tc >= 16, 0xFFFF, (jnp.int32(1) << tc) - 1)
+
+    pc = jax.lax.population_count
+    parts = []
+    for dz in range(kz):
+        zq = (oz * stride[0] - pad[0] + dz)[:, :, None]  # (B, M, 1)
+        inz = (zq >= 0) & (zq < d)
+        rank = (
+            pc(w0 & below_mask(zq))
+            + pc(w1 & below_mask(zq - 16))
+            + pc(w2 & below_mask(zq - 32))
+        )
+        word = jnp.where(zq < 16, w0, jnp.where(zq < 32, w1, w2))
+        bit = (word >> jnp.clip(zq % 16, 0, 15)) & 1
+        hit = inz & (bit > 0) & okbev
+        parts.append(jnp.where(hit, colstart + rank, n))
+    rb = jnp.stack(parts, axis=2)  # (B, M, kz, K2) == (dz, dy, dx) order
+    return rb.reshape(b, m * kz * ky * kx).astype(jnp.int32)
+
+
 def build_zcol_table(keys, mask, grid):
     """Dense cell -> row table in z-MINOR (column) order: (B, HW+1, D) int16.
 
@@ -469,6 +603,17 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
             kk, mm, grid, down_kernel, down_stride, down_pad, out_cap
         )
     )(keys, mask)
+
+    rec = build_csr(keys, mask, grid)
+    if rec is not None:
+        pad_s = tuple(s // 2 for s in subm_kernel) if subm_kernel else None
+        rbs = None
+        if subm_kernel is not None:
+            rbs = csr_rulebook(rec, n, grid, keys, mask, grid, subm_kernel,
+                               (1, 1, 1), pad_s)
+        rbd = csr_rulebook(rec, n, grid, out_keys, out_mask, out_grid,
+                           down_kernel, down_stride, down_pad)
+        return rbs, rbd, out_keys, out_mask
 
     ztab = build_zcol_table(keys, mask, grid)
     if ztab is not None:
