@@ -152,7 +152,14 @@ class CapacityConfig:
     # Active-voxel capacity per sparse CNN stage, as multiples of MAX_VOXELS.
     # Strided sparse convs can dilate the active set; stage capacities below
     # are generous defaults validated against KITTI-like densities.
-    stage_capacity: tuple = (1.0, 1.0, 0.5, 0.25, 0.25)
+    # Active-site capacity per sparse CNN stage as a fraction of
+    # max_voxels. spconv's strided convs DILATE the active set (the
+    # reference keeps every site dynamically): measured on KITTI-like
+    # planar clouds the chain runs ~(17k, 49k, 52k, 30k, 25k) from 18k
+    # input voxels, so later stages need capacities well ABOVE 1.0 —
+    # undersized caps silently truncate the highest-key (largest-y)
+    # sites and blank out whole regions of the BEV map.
+    stage_capacity: tuple = (1.0, 3.0, 3.2, 1.9, 1.5)
 
     def __post_init__(self):
         object.__setattr__(self, "stage_capacity", _freeze(self.stage_capacity))
@@ -179,6 +186,13 @@ class Config:
     # KITTI's thin-z occupancy) or "column" (sparse BEV x dense z;
     # competitive when z-occupancy is high).
     sparse_backend: str = "voxel"
+
+    # First sparse-CNN stage to run as a DENSE masked volume. The active
+    # set dilates stage over stage (see stage_capacity) until late-stage
+    # occupancy reaches 3-36%, where exact-masked dense conv3d on the MXU
+    # is far cheaper than any gather-based sparse path. Stage indices
+    # 0..3; 4 disables dense mode.
+    dense_from_stage: int = 2
 
     anchors: tuple = (
         AnchorConfig(),

@@ -74,6 +74,90 @@ class ColumnTensor:
         return SparseTensor(feats=f, keys=k, mask=m, grid=self.grid)
 
 
+@flax.struct.dataclass
+class DenseTensor:
+    """Dense masked voxel volume for the high-occupancy late CNN stages.
+
+    spconv's strided convs dilate the active set until late-stage
+    occupancy hits 3-36% on KITTI, where gather-based sparse paths lose
+    to plain dense conv3d on the MXU with exact submanifold semantics
+    recovered by masking to the active set. Spatial order is (h, w, d) so
+    a column-major sparse key IS the flat raster index (scatter/gather
+    conversions need no transposes); keys/mask ride along only when a
+    downstream consumer (PV-RCNN multiscale) needs compact form.
+    """
+
+    feats: jax.Array   # (B, H, W, D, C)
+    occ: jax.Array     # (B, H, W, D) bool — the EXACT spconv active set
+    grid: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
+    keys: jax.Array = None   # (B, N) optional compact key set
+    mask: jax.Array = None
+
+    def to_voxel_sparse(self) -> SparseTensor:
+        d, h, w = self.grid
+        b = self.feats.shape[0]
+        c = self.feats.shape[-1]
+        flat = self.feats.reshape(b, h * w * d, c).astype(jnp.float32)
+        f = jnp.take_along_axis(
+            flat, jnp.where(self.mask, self.keys, 0)[..., None], axis=1
+        )
+        f = jnp.where(self.mask[..., None], f, 0.0)
+        return SparseTensor(feats=f, keys=self.keys, mask=self.mask,
+                            grid=self.grid)
+
+
+def dense_from_sparse(st: SparseTensor, keep_keys: bool) -> DenseTensor:
+    """Scatter a sparse tensor into the dense masked volume (sorted-row
+    scatter: column-major keys are the flat (h, w, d) raster indices)."""
+    d, h, w = st.grid
+    b, n, c = st.feats.shape
+    cells = h * w * d
+    idx = jnp.where(st.mask, st.keys, cells) + (
+        jnp.arange(b, dtype=jnp.int32) * (cells + 1)
+    )[:, None]
+    feats = jnp.zeros((b * (cells + 1), c), st.feats.dtype).at[
+        idx.reshape(-1)
+    ].set(jnp.where(st.mask[..., None], st.feats, 0.0).reshape(b * n, c),
+          mode="drop", indices_are_sorted=True, unique_indices=True)
+    occ = jnp.zeros((b * (cells + 1),), bool).at[idx.reshape(-1)].set(
+        st.mask.reshape(-1), mode="drop", indices_are_sorted=True,
+        unique_indices=True,
+    )
+    feats = feats.reshape(b, cells + 1, c)[:, :cells].reshape(b, h, w, d, c)
+    occ = occ.reshape(b, cells + 1)[:, :cells].reshape(b, h, w, d)
+    return DenseTensor(feats=feats, occ=occ, grid=st.grid,
+                       keys=st.keys if keep_keys else None,
+                       mask=st.mask if keep_keys else None)
+
+
+def _dense_conv(x, weight, kernel, stride, pad, cdt):
+    """conv3d in (h, w, d) spatial order with the shared (K*Cin, Cout)
+    weight layout (K = (dz*ky+dy)*kx+dx row-major)."""
+    kz, ky, kx = kernel
+    cin = weight.shape[0] // (kz * ky * kx)
+    cout = weight.shape[1]
+    wk = weight.reshape(kz, ky, kx, cin, cout).transpose(1, 2, 0, 3, 4)
+    return jax.lax.conv_general_dilated(
+        x.astype(cdt), wk.astype(cdt),
+        window_strides=(stride[1], stride[2], stride[0]),
+        padding=((pad[1], pad[1]), (pad[2], pad[2]), (pad[0], pad[0])),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def dense_dilate_occ(occ, kernel, stride, pad):
+    """spconv strided-conv active set: any active input in the window."""
+    kz, ky, kx = kernel
+    return jax.lax.reduce_window(
+        occ, False, jax.lax.bitwise_or,
+        window_dimensions=(1, ky, kx, kz),
+        window_strides=(1, stride[1], stride[2], stride[0]),
+        padding=((0, 0), (pad[1], pad[1]), (pad[2], pad[2]),
+                 (pad[0], pad[0])),
+    )
+
+
 def from_voxels(feats, coords, mask, grid) -> SparseTensor:
     f, k, m = jax.vmap(lambda f, c, v: sp.make_sorted(f, c, v, grid))(
         feats, coords, mask
@@ -108,10 +192,11 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
         if train:
+            axes = tuple(range(x.ndim - 1))
             w = mask.astype(x.dtype)[..., None]
             n = jnp.maximum(w.sum(), 1.0)
-            mean = (x * w).sum(axis=(0, 1)) / n
-            var = (jnp.square(x - mean) * w).sum(axis=(0, 1)) / n
+            mean = (x * w).sum(axis=axes) / n
+            var = (jnp.square(x - mean) * w).sum(axis=axes) / n
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
@@ -184,6 +269,13 @@ class SubMConv(nn.Module):
             nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
             (k * cin, self.features),
         )
+        if isinstance(st, DenseTensor):
+            cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+            pad3 = tuple(k // 2 for k in self.kernel)
+            out = _dense_conv(st.feats, w, self.kernel, (1, 1, 1), pad3, cdt)
+            out = MaskedBatchNorm()(out, st.occ, train)
+            out = jnp.where(st.occ[..., None], nn.relu(out), 0.0).astype(cdt)
+            return st.replace(feats=out)
         if isinstance(st, ColumnTensor):
             cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
             d = st.grid[0]
@@ -208,7 +300,11 @@ class SubMConv(nn.Module):
             rb = sp.build_rulebook_batched(
                 st.keys, st.mask, st.grid, self.kernel, (1, 1, 1), pad
             )
-        out = sp.conv_rulebook_apply(st.feats, rb, w, compute_dtype=cdt)
+        if isinstance(rb, tuple):
+            out = sp.conv_zwin_apply(st.feats, rb[0], rb[1], w, self.kernel,
+                                     compute_dtype=cdt)
+        else:
+            out = sp.conv_rulebook_apply(st.feats, rb, w, compute_dtype=cdt)
         out = MaskedBatchNorm()(out, st.mask, train)
         out = jnp.where(st.mask[..., None], nn.relu(out), 0.0)
         return st.replace(feats=out)
@@ -235,6 +331,23 @@ class SparseConvDown(nn.Module):
             (k * cin, self.features),
         )
 
+        if isinstance(st, DenseTensor):
+            cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+            of = _dense_conv(st.feats, w, self.kernel, self.stride, self.pad,
+                             cdt)
+            oz = dense_dilate_occ(st.occ, self.kernel, self.stride, self.pad)
+            of = MaskedBatchNorm()(of, oz, train)
+            of = jnp.where(oz[..., None], nn.relu(of), 0.0).astype(cdt)
+            okeys = omask = None
+            if st.keys is not None:
+                okeys, omask = jax.vmap(
+                    lambda kk, m: sp.downsample_active_set(
+                        kk, m, st.grid, self.kernel, self.stride, self.pad,
+                        self.out_cap,
+                    )
+                )(st.keys, st.mask)
+            return DenseTensor(feats=of, occ=oz, grid=out_grid,
+                               keys=okeys, mask=omask)
         if isinstance(st, ColumnTensor):
             kyx = (self.kernel[1], self.kernel[2])
             syx = (self.stride[1], self.stride[2])
@@ -287,7 +400,11 @@ class SparseConvDown(nn.Module):
         else:
             rb, ok, om = plan
         cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
-        of = sp.conv_rulebook_apply(st.feats, rb, w, compute_dtype=cdt)
+        if isinstance(rb, tuple):
+            of = sp.conv_zwin_apply(st.feats, rb[0], rb[1], w, self.kernel,
+                                    compute_dtype=cdt)
+        else:
+            of = sp.conv_rulebook_apply(st.feats, rb, w, compute_dtype=cdt)
         of = MaskedBatchNorm()(of, om, train)
         of = jnp.where(om[..., None], nn.relu(of), 0.0)
         return SparseTensor(feats=of, keys=ok, mask=om, grid=out_grid)
@@ -299,6 +416,10 @@ def to_bev(st) -> jax.Array:
     Channel flattening is c-major over (C, D) to mirror the reference's
     ``view(N, C*D, H, W)`` on an NCDHW dense tensor (sparse_cnn.py:128-133).
     """
+    if isinstance(st, DenseTensor):
+        b, h, w, d, c = st.feats.shape
+        x = jnp.where(st.occ[..., None], st.feats, 0.0)
+        return jnp.transpose(x, (0, 1, 2, 4, 3)).reshape(b, h, w, c * d)
     if isinstance(st, ColumnTensor):
         return csp.columns_to_bev_batched(
             st.feats, st.zmask, st.keys, st.mask, st.grid, st.c
@@ -356,7 +477,13 @@ class SpMiddleFHD(nn.Module):
         scales = [st]
         x = st
         dt = self.cfg.compute_dtype
-        for subm_channels, down in self.block_specs():
+        for si, (subm_channels, down) in enumerate(self.block_specs()):
+            if (
+                si >= self.cfg.dense_from_stage
+                and isinstance(x, SparseTensor)
+            ):
+                # late stages run as dense masked volumes (see DenseTensor)
+                x = dense_from_sparse(x, keep_keys=need_scales)
             # submanifold layers in a block share the active set, so the
             # neighbor rulebook is built once per block (spconv shares via
             # indice_key, reference sparse_cnn.py:154-172)
@@ -389,6 +516,10 @@ class SpMiddleFHD(nn.Module):
         if isinstance(st, ColumnTensor):
             caps = [self.cfg.stage_voxel_capacity(i) for i in range(len(scales))]
             scales = [s.to_voxel_sparse(c) for s, c in zip(scales, caps)]
+        scales = [
+            s.to_voxel_sparse() if isinstance(s, DenseTensor) else s
+            for s in scales
+        ]
         return scales, bev
 
 

@@ -384,26 +384,27 @@ def _pc16(x):
 
 
 def build_csr(keys, mask, grid):
-    """Compact per-BEV-cell CSR records: (B*(HW+1), 4) int16.
+    """Compact per-BEV-cell CSR records: (B*(HW+1), 4) int32.
 
     Record = [bits0, bits1, bits2, colstart]: a 48-bit z-occupancy bitmask
     (bit z of word z//16 set iff voxel (z, y, x) is active) plus the
-    number of active voxels in all lower BEV cells. Because keys are
-    column-major sorted, row_of(z, cell) = colstart + popcount(bits below
-    z) EXACTLY — an O(1) lookup from an 8-byte record.
+    number of active voxels in all lower BEV cells (each 16-bit word is
+    zero-extended into an int32 channel so row counts are not limited to
+    int16). Because keys are column-major sorted, row_of(z, cell) =
+    colstart + popcount(bits below z) EXACTLY — an O(1) 16-byte lookup.
 
     The point of the 8B/cell format (vs the 82B/cell z-column table) is
     the measured v5e table-size cliff: gathers from <= ~50MB tables run
     ~2ns/row (VMEM-resident) vs 15-22ns from larger ones; the full KITTI
-    stage-0 CSR is 144MB batched (18MB per sample) vs 1.48GB for the
-    z-column table. Requires D <= 48 and N < 32767.
+    stage-0 CSR is 288MB batched (36MB per sample) vs 1.48GB for the
+    z-column table. Requires D <= 48.
 
     keys must be column-major sorted. The extra cell HW is an always-empty
     sentinel for out-of-bounds queries.
     """
     b, n = keys.shape
     d, h, w = grid
-    if d > 48 or n >= 32_767:
+    if d > 48:
         return None
     hw = h * w
     cell = jnp.where(mask, keys // d, hw)
@@ -412,7 +413,7 @@ def build_csr(keys, mask, grid):
     addr = (bidx * (hw + 1) + cell) * 4 + z // 16
     size = b * (hw + 1) * 4
     addr = jnp.where(mask, addr, size)  # invalid rows: past-the-end (drop)
-    bits = jnp.where(mask, jnp.int32(1) << (z % 16), 0)
+    bits = jnp.where(mask, jnp.int32(1) << (z % 16), 0)  # <= 0xFFFF
 
     # Merge each (cell, word) segment's bits BEFORE scattering: scatter-ADD
     # measured ~750ns/element on v5e (read-modify-write serialization),
@@ -433,10 +434,10 @@ def build_csr(keys, mask, grid):
     ].max(jnp.where(f, e, 0).reshape(-1), mode="drop").reshape(b, n)
     val = tot - jnp.take_along_axis(e_first, seg, axis=1)
 
-    rec = jnp.zeros((size,), jnp.int16).at[
+    rec = jnp.zeros((size,), jnp.int32).at[
         jnp.where(last, addr, size).reshape(-1)
     ].set(
-        val.astype(jnp.int16).reshape(-1), mode="drop",
+        val.reshape(-1), mode="drop",
         indices_are_sorted=True, unique_indices=True,
     )
 
@@ -451,7 +452,7 @@ def build_csr(keys, mask, grid):
     rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
     cs_addr = (bidx * (hw + 1) + cell) * 4 + 3
     rec = rec.at[jnp.where(cfirst, cs_addr, size).reshape(-1)].set(
-        jnp.where(cfirst, rows, 0).astype(jnp.int16).reshape(-1),
+        jnp.where(cfirst, rows, 0).reshape(-1),
         mode="drop", indices_are_sorted=True, unique_indices=True,
     )
     return rec.reshape(b * (hw + 1), 4)
@@ -484,10 +485,10 @@ def csr_rulebook(rec, n, grid, out_keys, out_mask, out_grid, kernel,
     bidx = jnp.arange(b, dtype=jnp.int32)[:, None, None]
     g = jnp.take(rec, (bidx * (hw + 1) + cell).reshape(-1), axis=0)
     g = g.reshape(b, m, ky * kx, 4)
-    w0 = g[..., 0].astype(jnp.int32) & 0xFFFF
-    w1 = g[..., 1].astype(jnp.int32) & 0xFFFF
-    w2 = g[..., 2].astype(jnp.int32) & 0xFFFF
-    colstart = g[..., 3].astype(jnp.int32)
+    w0 = g[..., 0]
+    w1 = g[..., 1]
+    w2 = g[..., 2]
+    colstart = g[..., 3]
 
     def below_mask(t):
         # bits strictly below offset t within one 16-bit word, t clamped
@@ -510,6 +511,153 @@ def csr_rulebook(rec, n, grid, out_keys, out_mask, out_grid, kernel,
         parts.append(jnp.where(hit, colstart + rank, n))
     rb = jnp.stack(parts, axis=2)  # (B, M, kz, K2) == (dz, dy, dx) order
     return rb.reshape(b, m * kz * ky * kx).astype(jnp.int32)
+
+
+# Tables at or under this many bytes gather rows at ~2ns (XLA promotes
+# them to VMEM); larger ones pay 15-22ns/row out of HBM. Above the limit
+# a sequential per-sample lax.map keeps each slice under the cliff
+# (measured ~6ns/row including map overhead — still 2.5-3x better).
+VMEM_TABLE_BYTES = 64 * 1024 * 1024
+
+
+def _take_maybe_per_sample(table, idx):
+    """Batched row gather: table (B, R, ...), idx (B, Q) in [0, R).
+
+    Flat batch-wide take when the whole table fits the VMEM-promotion
+    budget; per-sample lax.map otherwise (see VMEM_TABLE_BYTES).
+    """
+    b, r = table.shape[:2]
+    if table.size * table.dtype.itemsize <= VMEM_TABLE_BYTES:
+        flat = (idx + jnp.arange(b, dtype=jnp.int32)[:, None] * r).reshape(-1)
+        return jnp.take(table.reshape((b * r,) + table.shape[2:]), flat,
+                        axis=0).reshape((b, idx.shape[1]) + table.shape[2:])
+    return jax.lax.map(lambda ab: jnp.take(ab[0], ab[1], axis=0),
+                       (table, idx))
+
+
+def csr_zwin_rulebook(rec, n, grid, out_keys, out_mask, out_grid, kernel,
+                      stride=(1, 1, 1), pad=(0, 0, 0)):
+    """Z-window rulebook from CSR records: per (site, BEV offset) the START
+    row of the neighbor column's kz-window plus a kz-bit presence pattern.
+
+    Because keys are column-major sorted, a column's voxels with z in
+    [z0, z0+kz) occupy CONSECUTIVE rows starting at colstart +
+    popcount(bits below z0) — so the conv can fetch ONE (kz*C)-wide
+    z-window row per BEV offset (9 gathers/site) instead of kz*9 C-wide
+    rows, and align the fetched candidates to kernel taps in-register
+    (see conv_zwin_apply). Requires kz <= 3.
+
+    Returns (start (B, M*K2) int32 routed to row n on miss,
+             pattern (B, M*K2) int32 with bit dz set iff z0+dz is active).
+    """
+    b, m = out_keys.shape
+    d, h, w = grid
+    hw = h * w
+    kz, ky, kx = kernel
+    assert kz <= 3
+    od, oh, ow = out_grid
+    ok = jnp.where(out_mask, out_keys, 0)
+    oz = ok % od
+    oy = ok // (ow * od)
+    ox = (ok // od) % ow
+
+    offs = np.stack(
+        np.meshgrid(np.arange(ky), np.arange(kx), indexing="ij"), -1
+    ).reshape(-1, 2)  # (K2, 2) static
+    ny = oy[:, :, None] * stride[1] - pad[1] + jnp.asarray(offs)[:, 0]
+    nx = ox[:, :, None] * stride[2] - pad[2] + jnp.asarray(offs)[:, 1]
+    okbev = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w) & out_mask[:, :, None]
+    cell = jnp.where(okbev, ny * w + nx, hw)
+    g = _take_maybe_per_sample(rec.reshape(b, hw + 1, 4), cell.reshape(b, -1))
+    g = g.reshape(b, m, ky * kx, 4)
+    w0 = g[..., 0]
+    w1 = g[..., 1]
+    w2 = g[..., 2]
+    colstart = g[..., 3]
+
+    def below_mask(t):
+        tc = jnp.clip(t, 0, 16)
+        return jnp.where(tc >= 16, 0xFFFF, (jnp.int32(1) << tc) - 1)
+
+    def bit_at(zq):
+        word = jnp.where(zq < 16, w0, jnp.where(zq < 32, w1, w2))
+        inz = (zq >= 0) & (zq < d)
+        return jnp.where(inz, (word >> jnp.clip(zq % 16, 0, 15)) & 1, 0)
+
+    z0 = (oz * stride[0] - pad[0])[:, :, None]  # (B, M, 1) window start
+    pc = jax.lax.population_count
+    z0c = jnp.maximum(z0, 0)
+    rank = (
+        pc(w0 & below_mask(z0c))
+        + pc(w1 & below_mask(z0c - 16))
+        + pc(w2 & below_mask(z0c - 32))
+    )
+    pattern = sum(bit_at(z0 + dz) << dz for dz in range(kz))
+    start = jnp.where((pattern > 0) & okbev, colstart + rank, n)
+    pattern = jnp.where(okbev, pattern, 0)
+    return (start.reshape(b, -1).astype(jnp.int32),
+            pattern.reshape(b, -1).astype(jnp.int32))
+
+
+def conv_zwin_apply(feats, start, pattern, weight, kernel,
+                    compute_dtype=jnp.float32):
+    """Z-window gather + align + one GEMM.
+
+    feats (B, N, C); (start, pattern) from csr_zwin_rulebook; weight the
+    shared (K*Cin, Cout) layout, K = (dz*ky+dy)*kx + dx row-major.
+    Returns (B, M, Cout) f32.
+
+    One (kz*C)-wide row is fetched per (site, BEV offset) from a shifted
+    z-window view of the feature table; fetched candidate j (the j-th
+    active voxel at z >= z0) is routed to kernel tap dz with
+    j = popcount(pattern bits below dz) — realized as kz flat right-shifts
+    of the gathered rows masked by tap-selection masks (a (K2*kz) mask
+    expanded across C via a static 0/1 matmul, avoiding any lane-padded
+    (..., C) intermediate). The weight rows are permuted to (dy, dx, dz)
+    -major so the gathered block order needs no transpose.
+    """
+    b, n, c = feats.shape
+    kz, ky, kx = kernel
+    k2 = ky * kx
+    m = start.shape[1] // k2
+    cout = weight.shape[1]
+
+    fz = jnp.concatenate(
+        [feats, jnp.zeros((b, kz, c), feats.dtype)], axis=1
+    ).astype(compute_dtype)  # rows n..n+kz-1 are the zero window
+    zwin = jnp.concatenate(
+        [fz[:, dz: n + 1 + dz] for dz in range(kz)], axis=-1
+    )  # (B, N+1, kz*C)
+    g = _take_maybe_per_sample(zwin, start)  # (B, M*K2, kz*C)
+    g = g.reshape(b * m, k2 * kz * c)
+
+    # tap-selection masks: candidate j -> tap dz iff bit dz set and
+    # popcount(bits below dz) == j, i.e. shift s = dz - j
+    pat = pattern.reshape(b * m, k2)
+    bits = [(pat >> dz) & 1 for dz in range(kz)]
+    jof = [sum(bits[:dz]) if dz else 0 for dz in range(kz)]
+    expand = jnp.asarray(
+        np.kron(np.eye(k2 * kz, dtype=np.float32), np.ones((1, c), np.float32)),
+        compute_dtype,
+    )
+    x = jnp.zeros((b * m, k2 * kz * c), compute_dtype)
+    for s in range(kz):
+        msk = jnp.stack(
+            [
+                (bits[dz] > 0) & (jof[dz] == dz - s) if dz >= s
+                else jnp.zeros_like(pat, dtype=bool)
+                for dz in range(kz)
+            ],
+            axis=-1,
+        ).reshape(b * m, k2 * kz)  # (B*M, K2, kz) -> flat (k2-major, dz minor)
+        maskf = jnp.dot(msk.astype(compute_dtype), expand)
+        shifted = jnp.pad(g, ((0, 0), (s * c, 0)))[:, : k2 * kz * c]
+        x = x + shifted * maskf
+
+    wperm = weight.reshape(kz, k2, c, cout).transpose(1, 0, 2, 3)
+    wperm = wperm.reshape(k2 * kz * c, cout).astype(compute_dtype)
+    out = jnp.dot(x, wperm, preferred_element_type=jnp.float32)
+    return out.reshape(b, m, cout)
 
 
 def build_zcol_table(keys, mask, grid):
@@ -606,13 +754,15 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
 
     rec = build_csr(keys, mask, grid)
     if rec is not None:
+        # z-window rulebooks: (start, pattern) pairs consumed by
+        # conv_zwin_apply — 9 window gathers per site instead of 27
         pad_s = tuple(s // 2 for s in subm_kernel) if subm_kernel else None
         rbs = None
         if subm_kernel is not None:
-            rbs = csr_rulebook(rec, n, grid, keys, mask, grid, subm_kernel,
-                               (1, 1, 1), pad_s)
-        rbd = csr_rulebook(rec, n, grid, out_keys, out_mask, out_grid,
-                           down_kernel, down_stride, down_pad)
+            rbs = csr_zwin_rulebook(rec, n, grid, keys, mask, grid,
+                                    subm_kernel, (1, 1, 1), pad_s)
+        rbd = csr_zwin_rulebook(rec, n, grid, out_keys, out_mask, out_grid,
+                                down_kernel, down_stride, down_pad)
         return rbs, rbd, out_keys, out_mask
 
     ztab = build_zcol_table(keys, mask, grid)
