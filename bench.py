@@ -180,6 +180,14 @@ def main():
                 "compile_s": round(compile_s, 1),
                 "device": str(jax.devices()[0]),
                 "dtype": args.dtype,
+                # Round-1 numbers are NOT comparable: per-stage capacities
+                # then truncated up to 88% of the dilated active sets
+                # (whole BEV regions were silently dropped); capacities
+                # now cover the measured spconv dilation like the
+                # reference's dynamic kernels do.
+                "stage_capacities": [
+                    cfg.stage_voxel_capacity(i) for i in range(5)
+                ],
             }
         )
     )

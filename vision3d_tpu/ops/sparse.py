@@ -531,8 +531,11 @@ def _take_maybe_per_sample(table, idx):
         flat = (idx + jnp.arange(b, dtype=jnp.int32)[:, None] * r).reshape(-1)
         return jnp.take(table.reshape((b * r,) + table.shape[2:]), flat,
                         axis=0).reshape((b, idx.shape[1]) + table.shape[2:])
-    return jax.lax.map(lambda ab: jnp.take(ab[0], ab[1], axis=0),
-                       (table, idx))
+    # unrolled per-sample gathers (static slices): unlike lax.map, XLA can
+    # pipeline the 8 independent gathers and promote each slice
+    return jnp.stack(
+        [jnp.take(table[i], idx[i], axis=0) for i in range(b)], axis=0
+    )
 
 
 def csr_zwin_rulebook(rec, n, grid, out_keys, out_mask, out_grid, kernel,
