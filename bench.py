@@ -101,26 +101,61 @@ def main():
         )
         args.batch, args.points, args.iters = 2, 6000, 5
 
+    # scale over every visible chip: per-chip batch stays args.batch, the
+    # global batch is sharded over a 1-D data mesh (the day 8 chips exist,
+    # the v5e-8 aggregate number is this same command)
+    ndev = jax.device_count()
+    total_batch = args.batch * ndev
+
     rng = np.random.default_rng(0)
     P = args.points
     clouds = []
-    for _ in range(args.batch):
+    for _ in range(total_batch):
         p = kitti_like_points(rng, int(P * 1.6))
         if len(p) < P:
             p = np.concatenate([p, p[rng.integers(0, len(p), P - len(p))]])
         clouds.append(p[:P])
     points = jnp.asarray(np.stack(clouds))
-    num = jnp.full((args.batch,), P, jnp.int32)
+    num = jnp.full((total_batch,), P, jnp.int32)
 
     model, variables = create_second(
         cfg, jax.random.PRNGKey(0), (points[:1], num[:1])
     )
     anchors = jnp.asarray(make_anchors(cfg))
 
+    if ndev > 1:
+        from vision3d_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh()
+        points, num = pmesh.shard_batch((points, num), mesh)
+        variables = pmesh.replicate(variables, mesh)
+        anchors = pmesh.replicate(anchors, mesh)
+
     def infer(points, num):
         return model.apply(
             variables, points, num, anchors, method=Second.inference
         )
+
+    # capacity-overflow diagnostics (outside the timed loop): stage_dropped
+    # MUST be all zeros — non-zero means the static stage capacities
+    # truncated real active sites and the throughput below priced a
+    # partially-blanked network (the round-1 bug class).
+    _, diag = jax.jit(
+        lambda p, n: model.apply(
+            variables, p, n, anchors, method=Second.inference,
+            mutable=["diagnostics"],
+        )
+    )(points, num)
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(diag)[0]:
+        name = "/".join(
+            getattr(k, "key", getattr(k, "idx", "")).__str__() for k in path
+        )
+        flat[name] = flat.get(name, 0) + int(np.asarray(leaf).sum())
+    stage_dropped = [
+        v for k, v in sorted(flat.items()) if "stage" in k and "dropped" in k
+    ]
+    vox_dropped = sum(v for k, v in flat.items() if "voxelizer" in k)
 
     # The host<->device link in some environments has tens of ms of
     # round-trip latency and an unreliable block_until_ready, so we chain
@@ -155,8 +190,11 @@ def main():
     per_iter = [max(r - rt_latency, 1e-9) / args.iters for r in reps]
     best, p50 = min(per_iter), float(np.median(per_iter))
 
-    fps = args.batch / best
-    baseline_fps = 500.0
+    fps_aggregate = total_batch / best
+    fps = fps_aggregate / ndev  # headline metric is per chip
+    # BASELINE.json's >=500 f/s target is for a v5e-8 (8 chips); per chip
+    # that is 62.5 f/s — vs_baseline compares like with like.
+    baseline_fps = 500.0 / 8.0
     print(
         json.dumps(
             {
@@ -164,6 +202,8 @@ def main():
                 "value": round(float(fps), 2),
                 "unit": "frames/s",
                 "vs_baseline": round(float(fps) / baseline_fps, 4),
+                "n_devices": ndev,
+                "aggregate_frames_per_sec": round(float(fps_aggregate), 2),
                 # honest latency: executions are serialized inside one jit
                 # scan (data dependency through the carry), so per-iteration
                 # time IS the on-device latency of one batch; a frame's
@@ -188,6 +228,10 @@ def main():
                 "stage_capacities": [
                     cfg.stage_voxel_capacity(i) for i in range(5)
                 ],
+                # all-zero = no capacity truncated any real active site on
+                # this workload (runtime overflow detector, VERDICT r2 #4)
+                "stage_dropped": stage_dropped,
+                "voxelizer_dropped_reference_semantics": vox_dropped,
             }
         )
     )

@@ -44,7 +44,7 @@ def test_column_conv_matches_voxel_conv(rng, kernel, stride, pad):
         vkeys, vmask, vgrid = k, m, grid
     else:
         vgrid = sp.out_grid_shape(grid, kernel, stride, pad)
-        vkeys, vmask = sp.downsample_active_set(k, m, grid, kernel, stride, pad, cap)
+        vkeys, vmask, _ = sp.downsample_active_set(k, m, grid, kernel, stride, pad, cap)
         vout = sp.sparse_conv_apply(
             f, k, m, weight, vgrid, kernel, stride, pad,
             out_keys=vkeys, out_mask=vmask, in_grid=grid,

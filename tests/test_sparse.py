@@ -74,7 +74,7 @@ def test_strided_conv_matches_dense(rng, kernel, stride, pad):
     feats, coords, mask = random_sparse(rng, grid, 90, cap, cin)
     f, k, m = sp.make_sorted(feats, coords, mask, grid)
     out_grid = sp.out_grid_shape(grid, kernel, stride, pad)
-    ok, om = sp.downsample_active_set(k, m, grid, kernel, stride, pad, cap)
+    ok, om, _ = sp.downsample_active_set(k, m, grid, kernel, stride, pad, cap)
     weight = jnp.asarray(
         rng.normal(size=(int(np.prod(kernel)) * cin, cout)), jnp.float32
     )
@@ -103,12 +103,12 @@ def test_downsample_capacity_truncation(rng):
     grid = (4, 8, 8)
     feats, coords, mask = random_sparse(rng, grid, 60, 64, 2)
     f, k, m = sp.make_sorted(feats, coords, mask, grid)
-    ok_full, om_full = sp.downsample_active_set(
+    ok_full, om_full, nd_full = sp.downsample_active_set(
         k, m, grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), 256
     )
     n_full = int(om_full.sum())
     cap = max(n_full // 2, 1)
-    ok_cut, om_cut = sp.downsample_active_set(
+    ok_cut, om_cut, nd_cut = sp.downsample_active_set(
         k, m, grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), cap
     )
     assert int(om_cut.sum()) == cap
@@ -116,6 +116,9 @@ def test_downsample_capacity_truncation(rng):
     np.testing.assert_array_equal(
         np.asarray(ok_cut)[:cap], np.sort(np.asarray(ok_full)[:n_full])[:cap]
     )
+    # overflow detector: zero when the cap covers the set, exact count when not
+    assert int(nd_full) == 0
+    assert int(nd_cut) == n_full - cap
 
 
 def test_keys_roundtrip():
@@ -149,7 +152,7 @@ def test_batched_gather_matches_per_sample(rng):
     # strided
     kernel, stride, pad = (3, 3, 3), (2, 2, 2), (1, 1, 1)
     og = sp.out_grid_shape(grid, kernel, stride, pad)
-    ok, om = jax.vmap(
+    ok, om, _ = jax.vmap(
         lambda b, c: sp.downsample_active_set(b, c, grid, kernel, stride,
                                               pad, cap)
     )(k, m)
@@ -174,7 +177,7 @@ def test_batched_downsample_matches_per_sample(rng):
         ((3, 1, 1), (2, 1, 1), (0, 0, 0), 64),
         ((3, 3, 3), (2, 2, 2), (0, 1, 1), 16),  # forces truncation
     ]:
-        ref_k, ref_m = jax.vmap(
+        ref_k, ref_m, _ = jax.vmap(
             lambda a, b: sp.downsample_active_set(a, b, grid, kernel, stride,
                                                   pad, out_cap)
         )(k, m)

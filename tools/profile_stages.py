@@ -39,7 +39,9 @@ STAGES = [
     ((11, 400, 352), 64, 3, dict(kernel=(3, 3, 3), stride=(2, 2, 2), pad=(0, 1, 1))),
     ((5, 200, 176), 64, 3, dict(kernel=(3, 1, 1), stride=(2, 1, 1), pad=(0, 0, 0))),
 ]
-CAPS = [20000, 20000, 10000, 5000, 5000]
+# generous caps so ``counts`` measures TRUE dilation (undersized caps
+# would truncate and under-report — the bug class this tool exists to kill)
+CAPS = [20000, 120000, 120000, 80000, 60000]
 
 
 def counts():
@@ -57,10 +59,12 @@ def counts():
     all_keys = []
     for b in range(pts.shape[0]):
         _, coords, _ = voxelize_np(pts[b], cfg)
+        # column-major keys ((y*W + x)*D + z), matching sp.coords_to_keys /
+        # downsample_active_set's decode — a row-major key here scrambles
+        # coords and invalidates every dilation count downstream
         keys = np.asarray(
-            (coords[:, 0].astype(np.int64) * 1600 + coords[:, 1]) * 1408
-            + coords[:, 2]
-        )
+            sp.coords_to_keys(coords.astype(np.int32), (41, 1600, 1408))
+        ).astype(np.int64)
         all_keys.append(np.sort(keys))
 
     import jax.numpy as jnp
@@ -76,7 +80,7 @@ def counts():
             kk[: len(k)] = k
             m = np.zeros(CAPS[si], bool)
             m[: len(k)] = True
-            ok, om = sp.downsample_active_set(
+            ok, om, _ = sp.downsample_active_set(
                 jnp.asarray(kk), jnp.asarray(m), grid,
                 down["kernel"], down["stride"], down["pad"], cap,
             )
@@ -89,7 +93,8 @@ def counts():
     for si, (grid, keys) in enumerate(zip(grids, stage_keys)):
         d, h, w = grid
         nvox = np.mean([len(k) for k in keys])
-        bev = [np.unique((k // w) % h * w + k % w) for k in keys]
+        # column-major key: BEV cell (y*w + x) is just key // d
+        bev = [np.unique(k // d) for k in keys]
         ncol = np.mean([len(b_) for b_ in bev])
         line = f"stage {si} grid {grid}: vox {nvox:.0f} col {ncol:.0f}"
         for t in (4, 8, 16):

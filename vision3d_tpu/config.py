@@ -260,8 +260,10 @@ class Config:
         s = self.strides[-1]
         vs = self.voxel_size
         lo, hi = self.grid_bounds[:3], self.grid_bounds[3:]
-        nx = int((hi[0] - lo[0]) / (vs[0] * s))
-        ny = int((hi[1] - lo[1]) / (vs[1] * s))
+        # round, don't truncate: 38.4/0.8 is 47.999... in float64 and a
+        # truncating int() desyncs the anchor grid from the CNN's BEV map
+        nx = int(round((hi[0] - lo[0]) / (vs[0] * s)))
+        ny = int(round((hi[1] - lo[1]) / (vs[1] * s)))
         return (ny, nx)
 
     @property

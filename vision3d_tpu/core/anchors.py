@@ -35,7 +35,10 @@ def make_anchors(cfg: Config) -> np.ndarray:
     pixel = np.asarray(cfg.voxel_size[:2]) * stride
     lower = np.asarray(cfg.grid_bounds[:2], dtype=np.float64)
     upper = np.asarray(cfg.grid_bounds[3:5], dtype=np.float64)
-    nx, ny = ((upper - lower) / pixel).astype(np.int64)
+    # round, don't truncate: e.g. 38.4/0.8 is 47.999... in float64; a
+    # truncating cast desyncs the anchor grid from the CNN's BEV map
+    # (identical at the reference geometry where the ratios are exact)
+    nx, ny = np.round((upper - lower) / pixel).astype(np.int64)
 
     xs = _linspace_midpoint(lower[0], upper[0], nx)  # (nx,)
     ys = _linspace_midpoint(lower[1], upper[1], ny)  # (ny,)

@@ -121,13 +121,18 @@ def voxelize(points, num_points, cfg: Config):
     coords = jnp.zeros((N, 3), jnp.int32).at[vidx].set(
         jnp.where(valid[:, None], coords_sorted, 0), mode="drop"
     )
-    num_voxels = jnp.minimum((seg_first_pt < big).sum(), N).astype(jnp.int32)
+    total_voxels = (seg_first_pt < big).sum().astype(jnp.int32)
+    num_voxels = jnp.minimum(total_voxels, N)
     voxel_mask = jnp.arange(N) < num_voxels
     return dict(
         features=features,
         coords=coords,
         occupancy=occupancy,
         num_voxels=num_voxels,
+        # distinct in-range voxels BEFORE the MAX_VOXELS cap: total - num
+        # is the (reference-semantics) truncation count, reported by the
+        # capacity diagnostics alongside the stage drop counters
+        num_voxels_total=total_voxels,
         voxel_mask=voxel_mask,
     )
 

@@ -109,7 +109,7 @@ def _select_frames(detections, ground_truths, class_idx, difficulty):
     for det, gt in zip(detections, ground_truths):
         dsel = det["class_idx"] == class_idx
         gsel = gt["class_idx"] == class_idx
-        glevels = gt.get("levels", np.full(gsel.sum(), 1))[gsel]
+        glevels = gt.get("levels", np.full(len(gsel), 1))[gsel]
         gignored = (glevels > difficulty) | (glevels < 0)
         frames.append(
             (det["boxes"][dsel], det["scores"][dsel], gt["boxes"][gsel],
@@ -227,7 +227,7 @@ def evaluate_pooled(detections, ground_truths, class_idx=0, difficulty=2):
         dscores = det["scores"][dsel]
         gsel = gt["class_idx"] == class_idx
         gboxes = gt["boxes"][gsel]
-        glevels = gt.get("levels", np.full(gsel.sum(), 1))[gsel]
+        glevels = gt.get("levels", np.full(len(gsel), 1))[gsel]
         gignored = (glevels > difficulty) | (glevels < 0)
         n_gt_total += int((~gignored).sum())
         tp, fp = _match_frame(dboxes, dscores, gboxes, gignored, thresh)

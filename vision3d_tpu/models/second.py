@@ -50,6 +50,11 @@ class Second(nn.Module):
     def feature_extract(self, points, num_points, train: bool):
         """points (B, P, C), num_points (B,) -> BEV features (B, ny, nx, C)."""
         vox = voxelize_batch(points, num_points, self.cfg)
+        # reference-semantics MAX_VOXELS truncation count (spconv caps the
+        # same way); read out via mutable=["diagnostics"] like stage drops
+        self.sow("diagnostics", "voxelizer_dropped",
+                 (vox["num_voxels_total"] - vox["num_voxels"]).sum(),
+                 reduce_fn=lambda a, b: b)
         st = build_middle_input(self.cfg, vox)
         _, bev = self.cnn(st, train, need_scales=False)
         return self.rpn(bev, train)
@@ -77,4 +82,8 @@ def create_second(cfg: Config, rng: jax.Array, example_batch=None):
     # on remote-compiled backends (each tiny op is a separate compilation)
     init = jax.jit(lambda r, p, n: model.init(r, p, n, train=False))
     variables = init(rng, points, num_points)
+    # sow()-backed capacity diagnostics appear as an extra collection at
+    # init; drop it — it is runtime telemetry, not model state (readers
+    # request it explicitly via apply(..., mutable=["diagnostics"]))
+    variables = {k: v for k, v in variables.items() if k != "diagnostics"}
     return model, variables

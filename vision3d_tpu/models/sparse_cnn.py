@@ -124,13 +124,15 @@ def dense_from_sparse(st: SparseTensor, keep_keys: bool) -> DenseTensor:
         idx = jnp.where(st.mask, st.keys, cells) + (
             jnp.arange(b, dtype=jnp.int32) * (cells + 1)
         )[:, None]
+        # sentinel-routed invalid rows duplicate the per-sample index
+        # cells+... — sorted (they are the tail) but not unique, so only
+        # indices_are_sorted is claimed.
         feats = jnp.zeros((b * (cells + 1), c), st.feats.dtype).at[
             idx.reshape(-1)
         ].set(jnp.where(st.mask[..., None], st.feats, 0.0).reshape(b * n, c),
-              mode="drop", indices_are_sorted=True, unique_indices=True)
+              mode="drop", indices_are_sorted=True)
         occ = jnp.zeros((b * (cells + 1),), bool).at[idx.reshape(-1)].set(
             st.mask.reshape(-1), mode="drop", indices_are_sorted=True,
-            unique_indices=True,
         )
         feats = feats.reshape(b, cells + 1, c)[:, :cells].reshape(
             b, h, w, d, c)
@@ -376,7 +378,7 @@ class SparseConvDown(nn.Module):
             of = jnp.where(oz[..., None], nn.relu(of), 0.0).astype(cdt)
             okeys = omask = None
             if st.keys is not None:
-                okeys, omask = jax.vmap(
+                okeys, omask, _ = jax.vmap(
                     lambda kk, m: sp.downsample_active_set(
                         kk, m, st.grid, self.kernel, self.stride, self.pad,
                         self.out_cap,
@@ -429,7 +431,7 @@ class SparseConvDown(nn.Module):
         # ~6.4ns/element random-access wall (47M elements at stage 0); the
         # per-sample 27N-candidate sort is ~8ms total for the whole batch.
         if plan is None:
-            _, rb, ok, om = sp.plan_stage_batched(
+            _, rb, ok, om, _ = sp.plan_stage_batched(
                 st.keys, st.mask, st.grid, self.kernel, self.stride,
                 self.pad, self.out_cap
             )
@@ -530,12 +532,19 @@ class SpMiddleFHD(nn.Module):
                 # style) subm rulebook and the down-conv rulebook: a
                 # second query gather into the same table in one program
                 # measured ~15x slower (see sp.plan_stage_batched).
-                rb, rbd, ok, om = sp.plan_stage_batched(
+                rb, rbd, ok, om, ndrop = sp.plan_stage_batched(
                     x.keys, x.mask, x.grid, down["kernel"], down["stride"],
                     down["pad"], down["out_cap"],
                     subm_kernel=(3, 3, 3) if subm_channels else None,
                 )
                 plan = (rbd, ok, om)
+                # capacity-overflow detector: non-zero means the static
+                # stage capacity truncated real active sites (the silent
+                # bug class that invalidated round-1 numbers). Surfaced
+                # via the "diagnostics" collection; bench.py and the train
+                # loop read it out with mutable=["diagnostics"].
+                self.sow("diagnostics", f"stage{si + 1}_dropped",
+                         ndrop.sum(), reduce_fn=lambda a, b: b)
             elif subm_channels and isinstance(x, ColumnTensor):
                 rb = csp.build_bev_rulebook_batched(
                     x.keys, x.mask, (x.grid[1], x.grid[2]), (3, 3), (1, 1),

@@ -145,7 +145,10 @@ def downsample_active_set(keys, mask, in_grid, kernel, stride, pad, out_cap):
     input. Candidates are sorted, uniqued, and compacted to ``out_cap``
     (ascending key order => deterministic truncation of the largest keys).
 
-    Returns (out_keys (out_cap,), out_mask, out_grid).
+    Returns (out_keys (out_cap,), out_mask, n_dropped) — n_dropped is the
+    number of true active output sites the capacity truncated (0 when the
+    cap covers the dilated set; surfaced so capacity overflow is DETECTED
+    at runtime instead of silently blanking BEV regions).
     """
     og = out_grid_shape(in_grid, kernel, stride, pad)
     coords = keys_to_coords(jnp.where(mask, keys, 0), in_grid)
@@ -183,7 +186,8 @@ def downsample_active_set(keys, mask, in_grid, kernel, stride, pad, out_cap):
         jnp.where(first, rank, out_cap)
     ].set(jnp.where(first, skey, sentinel_key(og)), mode="drop")
     out_mask = out_keys < sentinel_key(og)
-    return out_keys, out_mask
+    n_dropped = jnp.maximum(first.sum(dtype=jnp.int32) - out_cap, 0)
+    return out_keys, out_mask, n_dropped
 
 
 def to_dense(feats, keys, mask, grid):
@@ -434,12 +438,13 @@ def build_csr(keys, mask, grid):
     ].max(jnp.where(f, e, 0).reshape(-1), mode="drop").reshape(b, n)
     val = tot - jnp.take_along_axis(e_first, seg, axis=1)
 
+    # NOTE: indices_are_sorted is NOT claimed here — routing non-last rows
+    # to the past-the-end sentinel interleaves `size` between ascending
+    # addresses, and a sorted-scatter lowering on TPU could then corrupt
+    # records (the XLA contract makes a false claim implementation-defined).
     rec = jnp.zeros((size,), jnp.int32).at[
         jnp.where(last, addr, size).reshape(-1)
-    ].set(
-        val.reshape(-1), mode="drop",
-        indices_are_sorted=True, unique_indices=True,
-    )
+    ].set(val.reshape(-1), mode="drop")
 
     # colstart only matters at cells that can HIT (bits != 0), and because
     # keys are column-major sorted, an active cell's colstart is just the
@@ -452,9 +457,8 @@ def build_csr(keys, mask, grid):
     rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
     cs_addr = (bidx * (hw + 1) + cell) * 4 + 3
     rec = rec.at[jnp.where(cfirst, cs_addr, size).reshape(-1)].set(
-        jnp.where(cfirst, rows, 0).reshape(-1),
-        mode="drop", indices_are_sorted=True, unique_indices=True,
-    )
+        jnp.where(cfirst, rows, 0).reshape(-1), mode="drop"
+    )  # no sortedness claim: sentinel routing breaks monotonicity (see above)
     return rec.reshape(b * (hw + 1), 4)
 
 
@@ -688,9 +692,12 @@ def build_zcol_table(keys, mask, grid):
     addr = bidx * ((hw + 1) * d) + jnp.where(mask, keys, hw * d)
     rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int16), (b, n))
     tab = jnp.full((b * (hw + 1) * d,), -1, jnp.int16)
+    # indices stay nondecreasing (invalid rows are the sorted tail, all at
+    # the per-sample sentinel hw*d), but they are NOT unique when >1 row is
+    # masked off — so only sortedness is claimed, not uniqueness.
     tab = tab.at[addr.reshape(-1)].set(
         jnp.where(mask, rows, -1).reshape(-1), mode="drop",
-        indices_are_sorted=True, unique_indices=True,
+        indices_are_sorted=True,
     )
     return tab.reshape(b * (hw + 1), d)
 
@@ -745,11 +752,13 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
     when the grid fits the int16 budget, else the flat dense table with a
     single merged element-gather lookup.
 
-    Returns (rb_subm or None, rb_down, out_keys, out_mask).
+    Returns (rb_subm or None, rb_down, out_keys, out_mask, n_dropped) —
+    n_dropped (B,) counts capacity-truncated active output sites per
+    sample (see downsample_active_set).
     """
     b, n = keys.shape
     out_grid = out_grid_shape(grid, down_kernel, down_stride, down_pad)
-    out_keys, out_mask = jax.vmap(
+    out_keys, out_mask, n_dropped = jax.vmap(
         lambda kk, mm: downsample_active_set(
             kk, mm, grid, down_kernel, down_stride, down_pad, out_cap
         )
@@ -766,7 +775,7 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
                                     subm_kernel, (1, 1, 1), pad_s)
         rbd = csr_zwin_rulebook(rec, n, grid, out_keys, out_mask, out_grid,
                                 down_kernel, down_stride, down_pad)
-        return rbs, rbd, out_keys, out_mask
+        return rbs, rbd, out_keys, out_mask, n_dropped
 
     ztab = build_zcol_table(keys, mask, grid)
     if ztab is not None:
@@ -777,7 +786,7 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
                                 (1, 1, 1), pad_s)
         rbd = zcol_rulebook(ztab, n, grid, out_keys, out_mask, out_grid,
                             down_kernel, down_stride, down_pad)
-        return rbs, rbd, out_keys, out_mask
+        return rbs, rbd, out_keys, out_mask, n_dropped
 
     table = build_dense_table(keys, mask, grid)
     qd = neighbor_queries(out_keys, out_mask, out_grid, grid, down_kernel,
@@ -785,7 +794,7 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
     if subm_kernel is None:
         idx, found = lookup_keys_batched(keys, mask, qd, grid, table=table)
         rbd = jnp.where(found, idx, n).astype(jnp.int32)
-        return None, rbd, out_keys, out_mask
+        return None, rbd, out_keys, out_mask, n_dropped
     pad_s = tuple(s // 2 for s in subm_kernel)
     qs = neighbor_queries(keys, mask, grid, grid, subm_kernel, (1, 1, 1),
                           pad_s)
@@ -793,7 +802,8 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
         keys, mask, jnp.concatenate([qs, qd], axis=1), grid, table=table
     )
     rball = jnp.where(found, idx, n).astype(jnp.int32)
-    return rball[:, : qs.shape[1]], rball[:, qs.shape[1]:], out_keys, out_mask
+    return (rball[:, : qs.shape[1]], rball[:, qs.shape[1]:], out_keys,
+            out_mask, n_dropped)
 
 
 def conv_rulebook_apply(feats, rb_idx, weight, compute_dtype=jnp.float32):
