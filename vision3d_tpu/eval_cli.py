@@ -59,8 +59,13 @@ def main(argv=None):
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--split", default="val")
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--data-root", default=None, help="KITTI training/ dir")
+    ap.add_argument("--split-dir", default=None)
+    ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--out-json", default=None)
     args = ap.parse_args(argv)
+
+    import dataclasses
 
     from vision3d_tpu.config import Config
     from vision3d_tpu.data.kitti import KittiDataset
@@ -68,6 +73,15 @@ def main(argv=None):
     from vision3d_tpu.training.train import create_train_state
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
+    data_overrides = {}
+    if args.data_root:
+        data_overrides["rootdir"] = args.data_root
+    if args.split_dir:
+        data_overrides["splitdir"] = args.split_dir
+    if args.cache_dir:
+        data_overrides["cachedir"] = args.cache_dir
+    if data_overrides:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_overrides))
     dataset = KittiDataset(cfg, split=args.split)
     model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0))
     if args.ckpt:

@@ -81,14 +81,17 @@ class DenseTensor:
     spconv's strided convs dilate the active set until late-stage
     occupancy hits 3-36% on KITTI, where gather-based sparse paths lose
     to plain dense conv3d on the MXU with exact submanifold semantics
-    recovered by masking to the active set. Spatial order is (h, w, d) so
-    a column-major sparse key IS the flat raster index (scatter/gather
-    conversions need no transposes); keys/mask ride along only when a
-    downstream consumer (PV-RCNN multiscale) needs compact form.
+    recovered by masking to the active set. Spatial order is (d, h, w) —
+    z-MAJOR — so the tensor's minor two dims are (W, C) and only the
+    channel axis is tile-padded (64 -> 128, 2x); the previous (h, w, d)
+    order put (D, C) minor and paid (16/11)*(128/64) = 2.9x padded
+    memory/traffic on every dense-stage op (measured round 3).
+    keys/mask ride along only when a downstream consumer (PV-RCNN
+    multiscale) needs compact form.
     """
 
-    feats: jax.Array   # (B, H, W, D, C)
-    occ: jax.Array     # (B, H, W, D) bool — the EXACT spconv active set
+    feats: jax.Array   # (B, D, H, W, C)
+    occ: jax.Array     # (B, D, H, W) bool — the EXACT spconv active set
     grid: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
     keys: jax.Array = None   # (B, N) optional compact key set
     mask: jax.Array = None
@@ -97,10 +100,11 @@ class DenseTensor:
         d, h, w = self.grid
         b = self.feats.shape[0]
         c = self.feats.shape[-1]
-        flat = self.feats.reshape(b, h * w * d, c).astype(jnp.float32)
-        f = jnp.take_along_axis(
-            flat, jnp.where(self.mask, self.keys, 0)[..., None], axis=1
-        )
+        flat = self.feats.reshape(b, d * h * w, c).astype(jnp.float32)
+        # column-major key (y*w + x)*d + z -> z-major raster z*h*w + y*w + x
+        k = jnp.where(self.mask, self.keys, 0)
+        raster = (k % d) * (h * w) + k // d
+        f = jnp.take_along_axis(flat, raster[..., None], axis=1)
         f = jnp.where(self.mask[..., None], f, 0.0)
         return SparseTensor(feats=f, keys=self.keys, mask=self.mask,
                             grid=self.grid)
@@ -113,86 +117,101 @@ def dense_from_sparse(st: SparseTensor, keep_keys: bool) -> DenseTensor:
     ~420ns/row on v5e (215ms at the stage-2 cutover); instead the CSR
     records give every dense cell's source row in O(1) bit arithmetic
     (row = colstart + popcount(bits below z)), so densification is one
-    all-cells row gather from the small sparse feature table (~2ns/row)
-    plus vector popcounts.
+    all-cells per-sample row gather from the small sparse feature table
+    (~2.8ns/row) plus vector popcounts.
+
+    Layout discipline (this function was 240ms in round 2, ~45ms now):
+    every intermediate is (B, HW) or (B, D, HW) — large-minor-dim shapes
+    the TPU tiles without padding. The previous (B, HW, D) stacking put
+    D=11 in the lane dim (padded ~12x) and cost ~200ms of pure traffic.
     """
     d, h, w = st.grid
     b, n, c = st.feats.shape
+    hw = h * w
     rec = sp.build_csr(st.keys, st.mask, st.grid)
     if rec is None:  # grid unsupported (d > 48): sorted-row-scatter fallback
-        cells = h * w * d
-        idx = jnp.where(st.mask, st.keys, cells) + (
+        cells = d * h * w
+        k = jnp.where(st.mask, st.keys, 0)
+        raster = (k % d) * hw + k // d  # z-major raster index
+        idx = jnp.where(st.mask, raster, cells) + (
             jnp.arange(b, dtype=jnp.int32) * (cells + 1)
         )[:, None]
-        # sentinel-routed invalid rows duplicate the per-sample index
-        # cells+... — sorted (they are the tail) but not unique, so only
-        # indices_are_sorted is claimed.
         feats = jnp.zeros((b * (cells + 1), c), st.feats.dtype).at[
             idx.reshape(-1)
         ].set(jnp.where(st.mask[..., None], st.feats, 0.0).reshape(b * n, c),
-              mode="drop", indices_are_sorted=True)
+              mode="drop")
         occ = jnp.zeros((b * (cells + 1),), bool).at[idx.reshape(-1)].set(
-            st.mask.reshape(-1), mode="drop", indices_are_sorted=True,
+            st.mask.reshape(-1), mode="drop",
         )
         feats = feats.reshape(b, cells + 1, c)[:, :cells].reshape(
-            b, h, w, d, c)
-        occ = occ.reshape(b, cells + 1)[:, :cells].reshape(b, h, w, d)
+            b, d, h, w, c)
+        occ = occ.reshape(b, cells + 1)[:, :cells].reshape(b, d, h, w)
         return DenseTensor(feats=feats, occ=occ, grid=st.grid,
                            keys=st.keys if keep_keys else None,
                            mask=st.mask if keep_keys else None)
 
-    hw = h * w
-    rec4 = rec.reshape(b, hw + 1, 4)[:, :hw]
-    w0, w1, w2 = rec4[..., 0], rec4[..., 1], rec4[..., 2]
-    colstart = rec4[..., 3]
+    rec4 = rec.reshape(b, hw + 1, 4)
+    # component split FIRST: all bit math below runs on flat (B, HW)
+    w0 = rec4[:, :hw, 0]
+    w1 = rec4[:, :hw, 1]
+    w2 = rec4[:, :hw, 2]
+    colstart = rec4[:, :hw, 3]
     pc = jax.lax.population_count
-    rows_z, present_z = [], []
+    idx_z, occ_z = [], []
     for z in range(d):  # z static: the word masks are compile-time consts
         m0 = (1 << min(z, 16)) - 1 if z < 16 else 0xFFFF
         m1 = (1 << min(max(z - 16, 0), 16)) - 1 if z < 32 else 0xFFFF
         m2 = (1 << max(z - 32, 0)) - 1
         rank = pc(w0 & m0) + pc(w1 & m1) + pc(w2 & m2)
         word = (w0, w1, w2)[z // 16]
-        present_z.append(((word >> (z % 16)) & 1) > 0)
-        rows_z.append(colstart + rank)
-    rows = jnp.stack(rows_z, axis=-1)      # (B, HW, D)
-    occ = jnp.stack(present_z, axis=-1)    # (B, HW, D)
-    idx = jnp.where(occ, rows, n).reshape(b, hw * d)
+        present = ((word >> (z % 16)) & 1) > 0
+        occ_z.append(present)
+        idx_z.append(jnp.where(present, colstart + rank, n))
+    idx = jnp.stack(idx_z, axis=1)       # (B, D, HW): minor dim unpadded
+    occ = jnp.stack(occ_z, axis=1)       # (B, D, HW)
     fz = jnp.concatenate(
         [st.feats, jnp.zeros((b, 1, c), st.feats.dtype)], axis=1
     )
-    feats = sp._take_maybe_per_sample(fz, idx).reshape(b, h, w, d, c)
-    return DenseTensor(feats=feats, occ=occ.reshape(b, h, w, d),
+    k = jnp.where(st.mask, st.keys, 0)
+    self_pos = (k % d) * hw + k // d  # row's own z-major raster cell
+    feats = sp.densify_gather(
+        fz, idx.reshape(b, d * hw), self_pos, st.mask
+    ).reshape(b, d, h, w, c)
+    return DenseTensor(feats=feats, occ=occ.reshape(b, d, h, w),
                        grid=st.grid,
                        keys=st.keys if keep_keys else None,
                        mask=st.mask if keep_keys else None)
 
 
 def _dense_conv(x, weight, kernel, stride, pad, cdt):
-    """conv3d in (h, w, d) spatial order with the shared (K*Cin, Cout)
-    weight layout (K = (dz*ky+dy)*kx+dx row-major)."""
+    """conv3d on z-major (B, D, H, W, C) volumes with the shared
+    (K*Cin, Cout) weight layout (K = (dz*ky+dy)*kx+dx row-major)."""
     kz, ky, kx = kernel
     cin = weight.shape[0] // (kz * ky * kx)
     cout = weight.shape[1]
-    wk = weight.reshape(kz, ky, kx, cin, cout).transpose(1, 2, 0, 3, 4)
-    return jax.lax.conv_general_dilated(
+    wk = weight.reshape(kz, ky, kx, cin, cout)
+    # no preferred_element_type=f32: the MXU accumulates bf16 in f32
+    # regardless, and an explicit f32 output makes the conv's VJP fail on
+    # mixed bf16/f32 cotangent dtypes; BN promotes to f32 downstream.
+    out = jax.lax.conv_general_dilated(
         x.astype(cdt), wk.astype(cdt),
-        window_strides=(stride[1], stride[2], stride[0]),
-        padding=((pad[1], pad[1]), (pad[2], pad[2]), (pad[0], pad[0])),
+        window_strides=(stride[0], stride[1], stride[2]),
+        padding=((pad[0], pad[0]), (pad[1], pad[1]), (pad[2], pad[2])),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
     )
+    return out.astype(jnp.float32)
 
 
 def dense_dilate_occ(occ, kernel, stride, pad):
-    """spconv strided-conv active set: any active input in the window."""
+    """spconv strided-conv active set: any active input in the window.
+    occ (B, D, H, W) z-major."""
     kz, ky, kx = kernel
     return jax.lax.reduce_window(
         occ, False, jax.lax.bitwise_or,
-        window_dimensions=(1, ky, kx, kz),
-        window_strides=(1, stride[1], stride[2], stride[0]),
-        padding=((0, 0), (pad[1], pad[1]), (pad[2], pad[2]),
-                 (pad[0], pad[0])),
+        window_dimensions=(1, kz, ky, kx),
+        window_strides=(1, stride[0], stride[1], stride[2]),
+        padding=((0, 0), (pad[0], pad[0]), (pad[1], pad[1]),
+                 (pad[2], pad[2])),
     )
 
 
@@ -341,6 +360,10 @@ class SubMConv(nn.Module):
         if isinstance(rb, tuple):
             out = sp.conv_zwin_apply(st.feats, rb[0], rb[1], w, self.kernel,
                                      compute_dtype=cdt)
+        elif train:
+            # conv-as-backward custom VJP (the default gather VJP is a
+            # ~750ns/element scatter-add — seconds/layer at this scale)
+            out = sp.make_subm_conv_vjp(cdt)(st.feats, rb, w)
         else:
             out = sp.conv_rulebook_apply(st.feats, rb, w, compute_dtype=cdt)
         out = MaskedBatchNorm()(out, st.mask, train)
@@ -430,17 +453,22 @@ class SparseConvDown(nn.Module):
         # measured far slower here — its full-output-grid scatter hits the
         # ~6.4ns/element random-access wall (47M elements at stage 0); the
         # per-sample 27N-candidate sort is ~8ms total for the whole batch.
+        rbt = None
         if plan is None:
             _, rb, ok, om, _ = sp.plan_stage_batched(
                 st.keys, st.mask, st.grid, self.kernel, self.stride,
                 self.pad, self.out_cap
             )
+        elif len(plan) == 4:
+            rb, rbt, ok, om = plan  # training plan with transpose rulebook
         else:
             rb, ok, om = plan
         cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         if isinstance(rb, tuple):
             of = sp.conv_zwin_apply(st.feats, rb[0], rb[1], w, self.kernel,
                                     compute_dtype=cdt)
+        elif rbt is not None:
+            of = sp.make_down_conv_vjp(cdt)(st.feats, rb, rbt, w)
         else:
             of = sp.conv_rulebook_apply(st.feats, rb, w, compute_dtype=cdt)
         of = MaskedBatchNorm()(of, om, train)
@@ -455,9 +483,9 @@ def to_bev(st) -> jax.Array:
     ``view(N, C*D, H, W)`` on an NCDHW dense tensor (sparse_cnn.py:128-133).
     """
     if isinstance(st, DenseTensor):
-        b, h, w, d, c = st.feats.shape
+        b, d, h, w, c = st.feats.shape
         x = jnp.where(st.occ[..., None], st.feats, 0.0)
-        return jnp.transpose(x, (0, 1, 2, 4, 3)).reshape(b, h, w, c * d)
+        return jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
     if isinstance(st, ColumnTensor):
         return csp.columns_to_bev_batched(
             st.feats, st.zmask, st.keys, st.mask, st.grid, st.c
@@ -532,12 +560,23 @@ class SpMiddleFHD(nn.Module):
                 # style) subm rulebook and the down-conv rulebook: a
                 # second query gather into the same table in one program
                 # measured ~15x slower (see sp.plan_stage_batched).
-                rb, rbd, ok, om, ndrop = sp.plan_stage_batched(
-                    x.keys, x.mask, x.grid, down["kernel"], down["stride"],
-                    down["pad"], down["out_cap"],
-                    subm_kernel=(3, 3, 3) if subm_channels else None,
-                )
-                plan = (rbd, ok, om)
+                if train:
+                    # full-tap rulebooks + transpose rulebook: every
+                    # backward runs as a rulebook conv (see
+                    # sp.plan_stage_train_batched)
+                    rb, rbd, rbt, ok, om, ndrop = sp.plan_stage_train_batched(
+                        x.keys, x.mask, x.grid, down["kernel"],
+                        down["stride"], down["pad"], down["out_cap"],
+                        subm_kernel=(3, 3, 3) if subm_channels else None,
+                    )
+                    plan = (rbd, rbt, ok, om)
+                else:
+                    rb, rbd, ok, om, ndrop = sp.plan_stage_batched(
+                        x.keys, x.mask, x.grid, down["kernel"],
+                        down["stride"], down["pad"], down["out_cap"],
+                        subm_kernel=(3, 3, 3) if subm_channels else None,
+                    )
+                    plan = (rbd, ok, om)
                 # capacity-overflow detector: non-zero means the static
                 # stage capacity truncated real active sites (the silent
                 # bug class that invalidated round-1 numbers). Surfaced

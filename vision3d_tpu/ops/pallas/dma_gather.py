@@ -1,0 +1,71 @@
+"""Pallas DMA row-gather: many outstanding HBM row copies per block.
+
+STATUS (round 3): the XLA row gather runs at ~19 ns/row for the sparse
+CNN's hot shapes regardless of table size (tables from 8 MB to 1 GB,
+rows 128-512 B physical). Each gathered row is latency-bound, so the fix
+is CONCURRENCY, not locality: this kernel issues a whole block of per-row
+HBM->VMEM DMAs back to back on one shared semaphore before waiting,
+keeping O(block) copies in flight. Round 2's prototype waited each row's
+DMA serially (~7.5 ns/row); measured rates for this kernel are in
+ARCHITECTURE.md (tools/microbench_r3.py).
+
+Semantics: out[i] = table[idx[i]]. Rows must be in [0, R). The row
+payload should be a multiple of 128 lanes for best DMA efficiency — pad
+the minor dim on the caller side (a (.., 64)-bf16 table is lane-padded
+by XLA anyway, so a 128-wide table costs the same memory).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@partial(jax.jit, static_argnames=("block_rows",))
+def dma_gather_rows(table, idx, block_rows: int = 256):
+    """table (R, W), idx (M,) int32 -> (M, W). M must divide by block_rows."""
+    m = idx.shape[0]
+    w = table.shape[1]
+    assert m % block_rows == 0, (m, block_rows)
+
+    def kernel(idx_ref, table_ref, out_ref, sem):
+        base = pl.program_id(0) * block_rows
+
+        def issue(j, _):
+            row = idx_ref[base + j]
+            pltpu.make_async_copy(
+                table_ref.at[pl.ds(row, 1), :],
+                out_ref.at[pl.ds(j, 1), :],
+                sem,
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, block_rows, issue, 0)
+
+        def drain(j, _):
+            row = idx_ref[base + j]
+            pltpu.make_async_copy(
+                table_ref.at[pl.ds(row, 1), :],
+                out_ref.at[pl.ds(j, 1), :],
+                sem,
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, block_rows, drain, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // block_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (block_rows, w), lambda i, idx: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, w), table.dtype),
+    )(idx, table)

@@ -556,11 +556,19 @@ def csr_zwin_rulebook(rec, n, grid, out_keys, out_mask, out_grid, kernel,
 
     Returns (start (B, M*K2) int32 routed to row n on miss,
              pattern (B, M*K2) int32 with bit dz set iff z0+dz is active).
+
+    Layout discipline (round 3): every intermediate is FLAT (B, M*K2) —
+    the earlier (B, M, K2) shapes put K2=9 in the lane dim and were
+    tile-padded ~14x, costing more than the record gathers themselves.
+    Only the gather output (B, Q, 4) is unavoidably lane-padded; its four
+    components are sliced out once and all bit math runs flat.
     """
     b, m = out_keys.shape
     d, h, w = grid
     hw = h * w
     kz, ky, kx = kernel
+    k2 = ky * kx
+    q = m * k2
     assert kz <= 3
     od, oh, ow = out_grid
     ok = jnp.where(out_mask, out_keys, 0)
@@ -571,12 +579,16 @@ def csr_zwin_rulebook(rec, n, grid, out_keys, out_mask, out_grid, kernel,
     offs = np.stack(
         np.meshgrid(np.arange(ky), np.arange(kx), indexing="ij"), -1
     ).reshape(-1, 2)  # (K2, 2) static
-    ny = oy[:, :, None] * stride[1] - pad[1] + jnp.asarray(offs)[:, 0]
-    nx = ox[:, :, None] * stride[2] - pad[2] + jnp.asarray(offs)[:, 1]
-    okbev = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w) & out_mask[:, :, None]
+    ny = (oy[:, :, None] * stride[1] - pad[1] + jnp.asarray(offs)[:, 0]
+          ).reshape(b, q)
+    nx = (ox[:, :, None] * stride[2] - pad[2] + jnp.asarray(offs)[:, 1]
+          ).reshape(b, q)
+    okbev = (
+        (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
+        & jnp.broadcast_to(out_mask[:, :, None], (b, m, k2)).reshape(b, q)
+    )
     cell = jnp.where(okbev, ny * w + nx, hw)
-    g = _take_maybe_per_sample(rec.reshape(b, hw + 1, 4), cell.reshape(b, -1))
-    g = g.reshape(b, m, ky * kx, 4)
+    g = _take_maybe_per_sample(rec.reshape(b, hw + 1, 4), cell)  # (B, Q, 4)
     w0 = g[..., 0]
     w1 = g[..., 1]
     w2 = g[..., 2]
@@ -591,7 +603,9 @@ def csr_zwin_rulebook(rec, n, grid, out_keys, out_mask, out_grid, kernel,
         inz = (zq >= 0) & (zq < d)
         return jnp.where(inz, (word >> jnp.clip(zq % 16, 0, 15)) & 1, 0)
 
-    z0 = (oz * stride[0] - pad[0])[:, :, None]  # (B, M, 1) window start
+    z0 = jnp.broadcast_to(
+        (oz * stride[0] - pad[0])[:, :, None], (b, m, k2)
+    ).reshape(b, q)  # window start, flat
     pc = jax.lax.population_count
     z0c = jnp.maximum(z0, 0)
     rank = (
@@ -602,8 +616,7 @@ def csr_zwin_rulebook(rec, n, grid, out_keys, out_mask, out_grid, kernel,
     pattern = sum(bit_at(z0 + dz) << dz for dz in range(kz))
     start = jnp.where((pattern > 0) & okbev, colstart + rank, n)
     pattern = jnp.where(okbev, pattern, 0)
-    return (start.reshape(b, -1).astype(jnp.int32),
-            pattern.reshape(b, -1).astype(jnp.int32))
+    return start.astype(jnp.int32), pattern.astype(jnp.int32)
 
 
 def conv_zwin_apply(feats, start, pattern, weight, kernel,
@@ -829,6 +842,233 @@ def conv_rulebook_apply(feats, rb_idx, weight, compute_dtype=jnp.float32):
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, n_out, -1)
+
+
+# ---------------------------------------------------------------------------
+# Training-path convs: custom VJPs that express the backward as ANOTHER
+# rulebook conv instead of jax's default gather-VJP (a scatter-add that
+# runs at ~750 ns/element on v5e — seconds per layer at KITTI scale).
+#
+#   forward:  out[o] = sum_d X[rb(o, d)] @ W_d
+#   dX[i]    = sum_{(o,d): rb(o,d)=i} g[o] @ W_d^T
+#            = sum_d g[rbt(i, d)] @ W_d^T          (rbt = transpose rulebook)
+#   dW_d     = sum_o X[rb(o, d)]^T @ g[o]          (regather + one GEMM)
+#
+# For submanifold convs rbt(i, d) == rb(i, K-1-d): the kernel offset grid
+# is symmetric and in==out sites, so the transpose rulebook is the SAME
+# rulebook with the tap axis reversed — zero extra build cost. For strided
+# convs the transpose rulebook is built once per stage from the output
+# set's lookup table (transpose_rulebook_batched): tap d reads input i
+# from output o = (i + p - d)/s when divisible and active.
+# ---------------------------------------------------------------------------
+
+
+def _flip_transpose_weight(weight, c_in):
+    """(K*Cin, Cout) -> (K*Cout, Cin) with W'[d] = W[K-1-d]^T."""
+    cout = weight.shape[1]
+    k = weight.shape[0] // c_in
+    w3 = weight.reshape(k, c_in, cout)[::-1]          # tap-reversed
+    return jnp.transpose(w3, (0, 2, 1)).reshape(k * cout, c_in)
+
+
+def _transpose_weight(weight, c_in):
+    """(K*Cin, Cout) -> (K*Cout, Cin) with W'[d] = W[d]^T (no tap flip —
+    the tap order is already encoded in the transpose rulebook)."""
+    cout = weight.shape[1]
+    k = weight.shape[0] // c_in
+    w3 = weight.reshape(k, c_in, cout)
+    return jnp.transpose(w3, (0, 2, 1)).reshape(k * cout, c_in)
+
+
+def _conv_rb_dw(feats, rb_idx, g, c_in, compute_dtype):
+    """dW = cols^T @ g via forward regather (memory-light residuals)."""
+    b, n, _ = feats.shape
+    k = rb_idx.shape[1] // g.shape[1]
+    table = jnp.concatenate(
+        [feats, jnp.zeros((b, 1, c_in), feats.dtype)], axis=1
+    ).astype(compute_dtype)
+    flat = (rb_idx + jnp.arange(b, dtype=jnp.int32)[:, None] * (n + 1)).reshape(-1)
+    cols = jnp.take(table.reshape(b * (n + 1), c_in), flat, axis=0)
+    cols = cols.reshape(b * g.shape[1], k * c_in)
+    gf = g.reshape(-1, g.shape[-1]).astype(compute_dtype)
+    return jnp.dot(cols.T, gf, preferred_element_type=jnp.float32)
+
+
+def make_subm_conv_vjp(compute_dtype=jnp.float32):
+    """conv_rulebook_apply for SUBMANIFOLD convs with a conv-as-backward
+    custom VJP. Returns f(feats, rb_idx, weight) -> (B, N, Cout)."""
+
+    @jax.custom_vjp
+    def f(feats, rb_idx, weight):
+        return conv_rulebook_apply(feats, rb_idx, weight, compute_dtype)
+
+    def fwd(feats, rb_idx, weight):
+        return f(feats, rb_idx, weight), (feats, rb_idx, weight)
+
+    def bwd(res, g):
+        feats, rb_idx, weight = res
+        c_in = feats.shape[-1]
+        # dX[i] = sum_d g[rb(i, K-1-d)] @ W_d^T; substituting e = K-1-d
+        # this is the SAME rulebook with tap-flip-transposed weights:
+        # sum_e g[rb(i, e)] @ W_{K-1-e}^T (symmetric offset grid).
+        wt = _flip_transpose_weight(weight, c_in)
+        dx = conv_rulebook_apply(
+            g.astype(compute_dtype), rb_idx, wt, compute_dtype
+        ).astype(feats.dtype)
+        dw = _conv_rb_dw(feats, rb_idx, g, c_in, compute_dtype)
+        return dx, None, dw.astype(weight.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def make_down_conv_vjp(compute_dtype=jnp.float32):
+    """conv_rulebook_apply for STRIDED convs: f(feats, rb, rbt, weight).
+
+    ``rbt`` (B, N_in*K) is the transpose rulebook over the K taps in
+    REVERSED order (rbt entry (i, K-1-d) = output row o reading input i
+    at tap d, or miss) so its weight arrangement matches
+    _flip_transpose_weight; build with transpose_rulebook_batched."""
+
+    @jax.custom_vjp
+    def f(feats, rb_idx, rbt_idx, weight):
+        return conv_rulebook_apply(feats, rb_idx, weight, compute_dtype)
+
+    def fwd(feats, rb_idx, rbt_idx, weight):
+        return f(feats, rb_idx, rbt_idx, weight), (feats, rb_idx, rbt_idx,
+                                                   weight)
+
+    def bwd(res, g):
+        feats, rb_idx, rbt_idx, weight = res
+        c_in = feats.shape[-1]
+        wt = _flip_transpose_weight(weight, c_in)
+        dx = conv_rulebook_apply(
+            g.astype(compute_dtype), rbt_idx, wt, compute_dtype
+        ).astype(feats.dtype)
+        dw = _conv_rb_dw(feats, rb_idx, g, c_in, compute_dtype)
+        return dx, None, None, dw.astype(weight.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def transpose_rulebook_batched(in_keys, in_mask, in_grid, out_keys, out_mask,
+                               out_grid, kernel, stride, pad, table=None):
+    """Transpose rulebook of a strided conv, K taps in REVERSED order.
+
+    Entry (i, K-1-d) = row (in the OUT arrays) of the output site
+    o = (i + p - d)/s that reads input i at kernel offset d — routed to
+    the miss row M when d is not divisible, o is out of range, or o is
+    inactive. Consumed by make_down_conv_vjp with _flip_transpose_weight.
+    """
+    b, n = in_keys.shape
+    m = out_keys.shape[1]
+    coords = jax.vmap(
+        lambda k_, m_: keys_to_coords(jnp.where(m_, k_, 0), in_grid)
+    )(in_keys, in_mask)
+    offs = jnp.asarray(_kernel_offsets(kernel))          # (K, 3)
+    stride_a = jnp.asarray(stride, jnp.int32)
+    pad_a = jnp.asarray(pad, jnp.int32)
+    og = jnp.asarray(out_grid, jnp.int32)
+
+    t = coords[:, :, None, :] + pad_a - offs[None, None]  # (B, N, K, 3)
+    divis = (t % stride_a == 0).all(-1)
+    o = t // stride_a
+    ok = (
+        divis & (o >= 0).all(-1) & (o < og).all(-1) & in_mask[:, :, None]
+    )
+    okey = (o[..., 1] * out_grid[2] + o[..., 2]) * out_grid[0] + o[..., 0]
+    okey = jnp.where(ok, okey, sentinel_key(out_grid))
+    idx, found = lookup_keys_batched(
+        out_keys, out_mask, okey.reshape(b, -1), out_grid, table=table
+    )
+    rbt = jnp.where(found, idx, m).astype(jnp.int32).reshape(b, n, -1)
+    return rbt[:, :, ::-1].reshape(b, n * rbt.shape[-1])
+
+
+def plan_stage_train_batched(keys, mask, grid, down_kernel, down_stride,
+                             down_pad, out_cap, subm_kernel=None):
+    """Training-path stage plan: full per-tap rulebooks (not z-window
+    form — its align machinery has no cheap VJP) plus the down conv's
+    TRANSPOSE rulebook, so every backward runs as a rulebook conv
+    (make_subm_conv_vjp / make_down_conv_vjp) instead of scatter-add.
+
+    Returns (rb_subm or None, rb_down, rbt_down, out_keys, out_mask,
+    n_dropped)."""
+    b, n = keys.shape
+    out_grid = out_grid_shape(grid, down_kernel, down_stride, down_pad)
+    out_keys, out_mask, n_dropped = jax.vmap(
+        lambda kk, mm: downsample_active_set(
+            kk, mm, grid, down_kernel, down_stride, down_pad, out_cap
+        )
+    )(keys, mask)
+
+    rec = build_csr(keys, mask, grid)
+    pad_s = tuple(s // 2 for s in subm_kernel) if subm_kernel else None
+    if rec is not None:
+        rbs = None
+        if subm_kernel is not None:
+            rbs = csr_rulebook(rec, n, grid, keys, mask, grid, subm_kernel,
+                               (1, 1, 1), pad_s)
+        rbd = csr_rulebook(rec, n, grid, out_keys, out_mask, out_grid,
+                           down_kernel, down_stride, down_pad)
+    else:
+        table = build_dense_table(keys, mask, grid)
+        qd = neighbor_queries(out_keys, out_mask, out_grid, grid,
+                              down_kernel, down_stride, down_pad)
+        rbs = None
+        if subm_kernel is not None:
+            qs = neighbor_queries(keys, mask, grid, grid, subm_kernel,
+                                  (1, 1, 1), pad_s)
+            idx, found = lookup_keys_batched(
+                keys, mask, jnp.concatenate([qs, qd], axis=1), grid,
+                table=table,
+            )
+            rball = jnp.where(found, idx, n).astype(jnp.int32)
+            rbs = rball[:, : qs.shape[1]]
+            rbd = rball[:, qs.shape[1]:]
+        else:
+            idx, found = lookup_keys_batched(keys, mask, qd, grid,
+                                             table=table)
+            rbd = jnp.where(found, idx, n).astype(jnp.int32)
+    rbt = transpose_rulebook_batched(
+        keys, mask, grid, out_keys, out_mask, out_grid, down_kernel,
+        down_stride, down_pad,
+    )
+    return rbs, rbd, rbt, out_keys, out_mask, n_dropped
+
+
+def densify_gather(fz, idx, self_pos, mask):
+    """Row gather for dense_from_sparse with a gather-as-backward VJP.
+
+    fz (B, N+1, C) feature table with appended zero row; idx (B, CELLS)
+    routes inactive cells to row N; self_pos/mask (B, N) give each source
+    row's own position in the gathered output (its cell's raster index)
+    so the backward is one take_along_axis — the default gather VJP is a
+    CELLS-sized scatter-add (~750 ns/element on v5e).
+    """
+
+    @jax.custom_vjp
+    def f(fz, idx, self_pos, mask):
+        return _take_maybe_per_sample(fz, idx)
+
+    def fwd(fz, idx, self_pos, mask):
+        return f(fz, idx, self_pos, mask), (self_pos, mask)
+
+    def bwd(res, g):
+        self_pos, mask = res
+        # each real row r < N is read by exactly one cell: its own
+        dfr = jnp.take_along_axis(
+            g, jnp.where(mask, self_pos, 0)[..., None], axis=1
+        )
+        dfr = jnp.where(mask[..., None], dfr, 0.0).astype(g.dtype)
+        dfz = jnp.concatenate(
+            [dfr, jnp.zeros((g.shape[0], 1, g.shape[-1]), g.dtype)], axis=1
+        )
+        return dfz, None, None, None
+
+    f.defvjp(fwd, bwd)
+    return f(fz, idx, self_pos, mask)
 
 
 def downsample_active_set_batched(keys, mask, in_grid, kernel, stride, pad,

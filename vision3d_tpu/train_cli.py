@@ -26,6 +26,9 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--data-root", default=None, help="KITTI training/ dir")
+    ap.add_argument("--split-dir", default=None)
+    ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--metrics-jsonl", default="./metrics.jsonl")
     ap.add_argument("--seed", type=int, default=0)
@@ -51,6 +54,15 @@ def main(argv=None):
         overrides["ckpt_dir"] = args.ckpt_dir
     if overrides:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **overrides))
+    data_overrides = {}
+    if args.data_root:
+        data_overrides["rootdir"] = args.data_root
+    if args.split_dir:
+        data_overrides["splitdir"] = args.split_dir
+    if args.cache_dir:
+        data_overrides["cachedir"] = args.cache_dir
+    if data_overrides:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_overrides))
 
     dataset = KittiDatasetTrain(cfg, rng=np.random.default_rng(args.seed))
     loader = DataLoader(dataset, cfg, seed=args.seed)
