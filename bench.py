@@ -72,6 +72,8 @@ def main():
     # bf16 compute is the TPU-idiomatic production setting (params, BN and
     # accumulation stay f32); pass --dtype float32 for bit-strict runs
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--backend", default=None,
+                    help="sparse backend override: voxel | column")
     args = ap.parse_args()
 
     import jax
@@ -93,6 +95,8 @@ def main():
         anchors=cfg.anchors[:1],
         compute_dtype=args.dtype,
     )
+    if args.backend:
+        cfg = cfg.replace(sparse_backend=args.backend)
     if args.quick:
         cfg = cfg.replace(
             max_voxels=4096,

@@ -58,7 +58,7 @@ def test_column_conv_matches_voxel_conv(rng, kernel, stride, pad):
         okeys, omask, ogrid = ck, cm, grid
     else:
         ogrid = sp.out_grid_shape(grid, kernel, stride, pad)
-        okeys, omask = csp.downsample_bev_columns(
+        okeys, omask, _ = csp.downsample_bev_columns(
             ck, cm, grid, (kernel[1], kernel[2]), (stride[1], stride[2]),
             (pad[1], pad[2]), cap, (ogrid[1], ogrid[2]),
         )
@@ -151,7 +151,7 @@ def test_model_backends_agree(rng):
     variables = model.init(jax.random.PRNGKey(0), stv, False)
     _, bev_v = model.apply(variables, stv, False)
 
-    stc = from_voxels_columns(fb, cb, mb, grid, cfg.max_voxels)
+    stc, _ = from_voxels_columns(fb, cb, mb, grid, cfg.max_voxels)
     _, bev_c = model.apply(variables, stc, False)
     # unnormalized eval-mode activations blow up through 10 layers, so
     # accumulation-order differences show as ~3e-3 relative noise

@@ -160,9 +160,18 @@ class CapacityConfig:
     # undersized caps silently truncate the highest-key (largest-y)
     # sites and blank out whole regions of the BEV map.
     stage_capacity: tuple = (1.0, 3.0, 3.2, 1.9, 1.5)
+    # Active-BEV-COLUMN capacity per stage (column backend), also as
+    # multiples of max_voxels. Measured on KITTI-like clouds: (13.9k,
+    # 25.3k, 23.2k, 12.5k, 12.5k) columns from 18k voxels — far fewer
+    # than sites because z stays dense inside a column.
+    stage_column_capacity: tuple = (0.9, 1.5, 1.45, 0.85, 0.85)
 
     def __post_init__(self):
         object.__setattr__(self, "stage_capacity", _freeze(self.stage_capacity))
+        object.__setattr__(
+            self, "stage_column_capacity",
+            _freeze(self.stage_column_capacity),
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -275,6 +284,12 @@ class Config:
         """Fixed active-voxel capacity for sparse CNN stage ``stage``."""
         cap = int(self.max_voxels * self.capacity.stage_capacity[stage])
         return max(cap, 128)
+
+    def stage_column_capacity(self, stage: int) -> int:
+        """Fixed active-BEV-column capacity for sparse CNN stage ``stage``
+        (column backend; clamped so slots fit int16 lookup tables)."""
+        cap = int(self.max_voxels * self.capacity.stage_column_capacity[stage])
+        return min(max(cap, 128), 32000)
 
     # ---- YAML compatibility ----
 

@@ -11,12 +11,45 @@ with TPU steps — the TPU-native counterpart of the reference's 6 worker
 processes.
 """
 
+import multiprocessing
 import queue
 import threading
+from concurrent.futures import ProcessPoolExecutor
 
 import numpy as np
 
 from vision3d_tpu.config import Config
+
+# Worker-process globals (set once per worker by _init_worker; fork
+# inheritance makes the initializer a no-op copy, spawn re-pickles).
+_WORKER_DATASET = None
+_WORKER_CFG = None
+
+
+def _init_worker(dataset, cfg):
+    global _WORKER_DATASET, _WORKER_CFG
+    # keep any accidental jax use in workers off the TPU: backends init
+    # lazily, so setting this before first use is sufficient
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _WORKER_DATASET = dataset
+    _WORKER_CFG = cfg
+
+
+def _worker_batch(indices, seed):
+    """Materialize + collate one batch in a worker process.
+
+    Each batch gets its own seeded rng (reproducible regardless of which
+    worker runs it); the dataset's rng is swapped process-locally so
+    augmentation draws from it.
+    """
+    rng = np.random.default_rng(seed)
+    ds = _WORKER_DATASET
+    if hasattr(ds, "rng"):
+        ds.rng = rng
+    items = [ds[int(j)] for j in indices]
+    return collate(items, _WORKER_CFG, rng)
 
 
 def pad_points(points: np.ndarray, capacity: int, rng) -> tuple:
@@ -72,10 +105,16 @@ def collate(items, cfg: Config, rng) -> dict:
 
 
 class DataLoader:
-    """Minimal epoch iterator with background prefetch."""
+    """Epoch iterator with background prefetch.
+
+    ``num_workers=0`` (default) prefetches on one thread; ``num_workers>0``
+    fans each batch's disk+augmentation+collate out to a pool of worker
+    PROCESSES (the TPU counterpart of the reference's 6 DataLoader
+    workers, vision3d/train.py:18 — augmentation is GIL-bound numpy at
+    ~50-100 ms/frame, so threads cannot feed a fast train step)."""
 
     def __init__(self, dataset, cfg: Config, batch_size=None, shuffle=True,
-                 drop_last=True, seed=0, prefetch=2):
+                 drop_last=True, seed=0, prefetch=2, num_workers=0):
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size or cfg.train.batch_size
@@ -83,6 +122,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        self.num_workers = num_workers
 
     def __len__(self):
         n = len(self.dataset)
@@ -100,7 +140,40 @@ class DataLoader:
             items = [self.dataset[int(j)] for j in sel]
             yield collate(items, self.cfg, self.rng)
 
+    def _iter_mp(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        nb = len(self)
+        jobs = [
+            (order[i * self.batch_size : (i + 1) * self.batch_size],
+             int(self.rng.integers(0, 2**31)))
+            for i in range(nb)
+        ]
+        # spawn, as the reference does (train.py:99): forking a process
+        # that already initialized a TPU backend can deadlock
+        ctx = multiprocessing.get_context("spawn")
+        with ProcessPoolExecutor(
+            max_workers=self.num_workers, mp_context=ctx,
+            initializer=_init_worker, initargs=(self.dataset, self.cfg),
+        ) as ex:
+            inflight = max(self.num_workers + self.prefetch, 2)
+            futures = [
+                ex.submit(_worker_batch, idx, seed)
+                for idx, seed in jobs[:inflight]
+            ]
+            nxt = inflight
+            for i in range(nb):
+                batch = futures[i].result()
+                if nxt < nb:
+                    futures.append(ex.submit(_worker_batch, *jobs[nxt]))
+                    nxt += 1
+                yield batch
+
     def __iter__(self):
+        if self.num_workers > 0:
+            yield from self._iter_mp()
+            return
         q = queue.Queue(maxsize=self.prefetch)
         stop = object()
 

@@ -27,16 +27,24 @@ from vision3d_tpu.models.sparse_cnn import (
 )
 
 
-def build_middle_input(cfg: Config, vox):
-    """Voxelizer output -> the configured sparse representation."""
+def build_middle_input(cfg: Config, vox, with_diagnostics: bool = False):
+    """Voxelizer output -> the configured sparse representation.
+
+    With ``with_diagnostics`` also returns the per-sample count of active
+    BEV columns truncated by the stage-0 column capacity (always zero for
+    the voxel backend, whose capacity is the voxelizer's own max_voxels).
+    """
     feats = mean_vfe(vox["features"], vox["occupancy"])
     if cfg.sparse_backend == "column":
-        return from_voxels_columns(
+        st, ndrop = from_voxels_columns(
             feats, vox["coords"], vox["voxel_mask"], cfg.grid_shape_zyx,
-            cfg.max_voxels,
+            cfg.stage_column_capacity(0),
         )
-    return from_voxels(feats, vox["coords"], vox["voxel_mask"],
-                       cfg.grid_shape_zyx)
+    else:
+        st = from_voxels(feats, vox["coords"], vox["voxel_mask"],
+                         cfg.grid_shape_zyx)
+        ndrop = jnp.zeros((feats.shape[0],), jnp.int32)
+    return (st, ndrop) if with_diagnostics else st
 
 
 class Second(nn.Module):
@@ -55,7 +63,10 @@ class Second(nn.Module):
         self.sow("diagnostics", "voxelizer_dropped",
                  (vox["num_voxels_total"] - vox["num_voxels"]).sum(),
                  reduce_fn=lambda a, b: b)
-        st = build_middle_input(self.cfg, vox)
+        st, col_dropped = build_middle_input(self.cfg, vox,
+                                             with_diagnostics=True)
+        self.sow("diagnostics", "stage0_columns_dropped", col_dropped.sum(),
+                 reduce_fn=lambda a, b: b)
         _, bev = self.cnn(st, train, need_scales=False)
         return self.rpn(bev, train)
 

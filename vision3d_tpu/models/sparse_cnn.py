@@ -183,6 +183,46 @@ def dense_from_sparse(st: SparseTensor, keep_keys: bool) -> DenseTensor:
                        mask=st.mask if keep_keys else None)
 
 
+def dense_from_columns(ct: ColumnTensor, keep_keys: bool,
+                       voxel_cap: int = 0) -> DenseTensor:
+    """ColumnTensor -> DenseTensor cutover for the dense late stages.
+
+    One int32 BEV slot-map scatter + one all-cells row gather of the flat
+    (D*C) column rows (VMEM-resident table) + one transpose into the
+    z-major dense layout — ~6x cheaper than the CSR-record densify the
+    voxel backend needs, because the column form already IS z-dense.
+    """
+    d, h, w = ct.grid
+    b, n, _ = ct.feats.shape
+    hw = h * w
+    c = ct.c
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    addr = jnp.where(ct.mask, bidx * (hw + 1) + ct.keys, b * (hw + 1))
+    slot = jnp.full((b * (hw + 1) + 1,), n, jnp.int32).at[
+        addr.reshape(-1)
+    ].set(
+        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n)).reshape(-1),
+        mode="drop",
+    )[: b * (hw + 1)].reshape(b, hw + 1)[:, :hw]
+
+    table = jnp.concatenate(
+        [ct.feats, jnp.zeros((b, 1, d * c), ct.feats.dtype)], axis=1
+    )
+    df = sp._take_maybe_per_sample(table, slot)          # (B, HW, D*C)
+    feats = jnp.transpose(
+        df.reshape(b, h, w, d, c), (0, 3, 1, 2, 4)
+    )
+    zt = jnp.concatenate([ct.zmask, jnp.zeros((b, 1, d), bool)], axis=1)
+    occ_hw = sp._take_maybe_per_sample(zt, slot)          # (B, HW, D)
+    occ = jnp.transpose(occ_hw.reshape(b, h, w, d), (0, 3, 1, 2))
+    keys = mask = None
+    if keep_keys:
+        vs = ct.to_voxel_sparse(voxel_cap or n * d)
+        keys, mask = vs.keys, vs.mask
+    return DenseTensor(feats=feats, occ=occ, grid=ct.grid,
+                       keys=keys, mask=mask)
+
+
 def _dense_conv(x, weight, kernel, stride, pad, cdt):
     """conv3d on z-major (B, D, H, W, C) volumes with the shared
     (K*Cin, Cout) weight layout (K = (dz*ky+dy)*kx+dx row-major)."""
@@ -222,12 +262,14 @@ def from_voxels(feats, coords, mask, grid) -> SparseTensor:
     return SparseTensor(feats=f, keys=k, mask=m, grid=grid)
 
 
-def from_voxels_columns(feats, coords, mask, grid, ncol_cap: int) -> ColumnTensor:
-    f, z, k, m = csp.columns_from_voxels_batched(
+def from_voxels_columns(feats, coords, mask, grid, ncol_cap: int):
+    """Returns (ColumnTensor, n_dropped (B,)) — n_dropped counts active
+    columns truncated by ``ncol_cap`` (capacity-overflow detection)."""
+    f, z, k, m, ndrop = csp.columns_from_voxels_batched(
         feats, coords, mask, grid, ncol_cap
     )
     return ColumnTensor(feats=f, zmask=z, keys=k, mask=m, grid=grid,
-                        c=feats.shape[-1])
+                        c=feats.shape[-1]), ndrop
 
 
 class MaskedBatchNorm(nn.Module):
@@ -341,7 +383,7 @@ class SubMConv(nn.Module):
                     st.keys, st.mask, (st.grid[1], st.grid[2]),
                     (self.kernel[1], self.kernel[2]), (1, 1), (pad[1], pad[2]),
                 )
-            out = csp.column_conv_batched(
+            out = csp.column_conv_dz(
                 st.feats, rb, w, self.kernel, d, cin, 1, pad[0],
                 compute_dtype=cdt,
             )  # (B, N, D*Cout) f32
@@ -379,6 +421,7 @@ class SparseConvDown(nn.Module):
     stride: Tuple[int, int, int]
     pad: Tuple[int, int, int]
     out_cap: int
+    out_col_cap: int = 0  # column-backend output capacity (0: use out_cap)
     dtype: str = "float32"
 
     @nn.compact
@@ -417,21 +460,25 @@ class SparseConvDown(nn.Module):
             out_hw = (out_grid[1], out_grid[2])
             cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
+            col_cap = self.out_col_cap or self.out_cap
             if kyx == (1, 1) and syx == (1, 1):
                 # BEV-identity down conv (e.g. the (3,1,1)-kernel stage):
                 # the active column set is unchanged
                 ok, om = st.keys, st.mask
+                ndrop = jnp.zeros((st.keys.shape[0],), jnp.int32)
             else:
-                ok, om = jax.vmap(
+                ok, om, ndrop = jax.vmap(
                     lambda kk, m: csp.downsample_bev_columns(
-                        kk, m, st.grid, kyx, syx, pyx, self.out_cap, out_hw
+                        kk, m, st.grid, kyx, syx, pyx, col_cap, out_hw
                     )
                 )(st.keys, st.mask)
+            self.sow("diagnostics", "columns_dropped", ndrop.sum(),
+                     reduce_fn=lambda a, b: b)
             rb = csp.build_bev_rulebook_batched(
                 st.keys, st.mask, in_hw, kyx, syx, pyx,
                 out_keys=ok, out_mask=om, out_hw=out_hw,
             )
-            of = csp.column_conv_batched(
+            of = csp.column_conv_dz(
                 st.feats, rb, w, self.kernel, st.grid[0], cin,
                 self.stride[0], self.pad[0], compute_dtype=cdt,
             )  # (B, M, D_out*Cout) f32
@@ -523,13 +570,17 @@ class SpMiddleFHD(nn.Module):
         return [
             # (subm channel list, down-conv spec)
             ([16, 16], dict(features=32, kernel=(3, 3, 3), stride=(2, 2, 2),
-                            pad=(1, 1, 1), out_cap=c.stage_voxel_capacity(1))),
+                            pad=(1, 1, 1), out_cap=c.stage_voxel_capacity(1),
+                            out_col_cap=c.stage_column_capacity(1))),
             ([32, 32], dict(features=64, kernel=(3, 3, 3), stride=(2, 2, 2),
-                            pad=(1, 1, 1), out_cap=c.stage_voxel_capacity(2))),
+                            pad=(1, 1, 1), out_cap=c.stage_voxel_capacity(2),
+                            out_col_cap=c.stage_column_capacity(2))),
             ([64, 64, 64], dict(features=64, kernel=(3, 3, 3), stride=(2, 2, 2),
-                                pad=(0, 1, 1), out_cap=c.stage_voxel_capacity(3))),
+                                pad=(0, 1, 1), out_cap=c.stage_voxel_capacity(3),
+                                out_col_cap=c.stage_column_capacity(3))),
             ([64, 64, 64], dict(features=64, kernel=(3, 1, 1), stride=(2, 1, 1),
-                                pad=(0, 0, 0), out_cap=c.stage_voxel_capacity(4))),
+                                pad=(0, 0, 0), out_cap=c.stage_voxel_capacity(4),
+                                out_col_cap=c.stage_column_capacity(4))),
         ]
 
     @nn.compact
@@ -544,12 +595,15 @@ class SpMiddleFHD(nn.Module):
         x = st
         dt = self.cfg.compute_dtype
         for si, (subm_channels, down) in enumerate(self.block_specs()):
-            if (
-                si >= self.cfg.dense_from_stage
-                and isinstance(x, SparseTensor)
-            ):
+            if si >= self.cfg.dense_from_stage:
                 # late stages run as dense masked volumes (see DenseTensor)
-                x = dense_from_sparse(x, keep_keys=need_scales)
+                if isinstance(x, SparseTensor):
+                    x = dense_from_sparse(x, keep_keys=need_scales)
+                elif isinstance(x, ColumnTensor):
+                    x = dense_from_columns(
+                        x, keep_keys=need_scales,
+                        voxel_cap=self.cfg.stage_voxel_capacity(si),
+                    )
             # submanifold layers in a block share the active set, so the
             # neighbor rulebook is built once per block (spconv shares via
             # indice_key, reference sparse_cnn.py:154-172)
@@ -599,7 +653,10 @@ class SpMiddleFHD(nn.Module):
             return None, bev
         if isinstance(st, ColumnTensor):
             caps = [self.cfg.stage_voxel_capacity(i) for i in range(len(scales))]
-            scales = [s.to_voxel_sparse(c) for s, c in zip(scales, caps)]
+            scales = [
+                s.to_voxel_sparse(c) if isinstance(s, ColumnTensor) else s
+                for s, c in zip(scales, caps)
+            ]
         scales = [
             s.to_voxel_sparse() if isinstance(s, DenseTensor) else s
             for s in scales

@@ -102,6 +102,61 @@ def _z_band_mask(d, d_out, kz, stride_z, pad_z):
     return (z == zo * stride_z - pad_z + dz).astype(np.float32)
 
 
+def column_conv_dz(col_feats, rb_idx, weight, kernel, d, c, stride_z=1,
+                   pad_z=0, compute_dtype=jnp.float32):
+    """Rulebook gather + per-output-z GEMMs on FLAT column rows.
+
+    Same contract as column_conv_batched. The band-GEMM there contracts
+    the full (K2*D*C) row against a (K2*D*C, D_out*Cout) block-banded
+    matrix — D/kz of those FLOPs are structural zeros (7x waste at D=21),
+    which round 2 measured as the column path losing to z-window gathers.
+    Instead, for each output z the K2 kz*C-wide window slices of the flat
+    rows (contiguous LANE slices — no (.., C)-minor reshape, which would
+    be lane-padded up to 8x and was measured 26GB/OOM at stage 0) are
+    concatenated into a (B*M, K2*kz*C) im2col block and hit against the
+    shared (K*Cin, Cout) weight: FLOPs are the exact 27-tap count and
+    every operand keeps a wide unpadded minor dim. Lane traffic is
+    D_out*kz/D_pad ~ 1.5x the gathered bytes.
+    """
+    b, n, _ = col_feats.shape
+    kz, ky, kx = kernel
+    k2 = ky * kx
+    m = rb_idx.shape[1] // k2
+    cout = weight.shape[1]
+    d_out = (d + 2 * pad_z - kz) // stride_z + 1
+    dp = d + 2 * pad_z
+
+    table = col_feats.astype(compute_dtype)
+    if pad_z:
+        zc = jnp.zeros((b, n, pad_z * c), compute_dtype)
+        table = jnp.concatenate([zc, table, zc], axis=-1)
+    table = jnp.concatenate(
+        [table, jnp.zeros((b, 1, dp * c), compute_dtype)], axis=1
+    )
+    g = sp._take_maybe_per_sample(table, rb_idx)  # (B, M*K2, dp*c)
+    g = g.reshape(b * m, k2 * dp * c)
+
+    # weight rows permuted to (k2, dz, c)-major to match the slice order
+    wperm = weight.reshape(kz, k2, c, cout).transpose(1, 0, 2, 3)
+    wperm = wperm.reshape(k2 * kz * c, cout).astype(compute_dtype)
+    outs = []
+    for zo in range(d_out):
+        z0 = zo * stride_z
+        xz = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(
+                    g, j * dp * c + z0 * c, j * dp * c + (z0 + kz) * c, axis=1
+                )
+                for j in range(k2)
+            ],
+            axis=1,
+        )  # (B*M, K2*kz*C)
+        outs.append(
+            jnp.dot(xz, wperm, preferred_element_type=jnp.float32)
+        )
+    return jnp.concatenate(outs, axis=1).reshape(b, m, d_out * cout)
+
+
 def column_conv_batched(col_feats, rb_idx, weight, kernel, d, c, stride_z=1,
                         pad_z=0, compute_dtype=jnp.float32):
     """Rulebook gather + ONE block-banded GEMM on FLAT column rows.
@@ -200,7 +255,10 @@ def columns_from_voxels_batched(feats, coords, mask, grid, ncol_cap):
     ].set(
         jnp.where(mask[..., None], feats, 0.0).reshape(-1), mode="drop"
     ).reshape(b, ncol_cap + 1, d * c)[:, :ncol_cap]
-    return col_feats, zmask, col_keys, col_mask
+    n_dropped = jnp.maximum(
+        occ.sum(axis=1, dtype=jnp.int32) - ncol_cap, 0
+    )
+    return col_feats, zmask, col_keys, col_mask, n_dropped
 
 
 def expand_site_mask(zmask, c, dtype=jnp.float32):
@@ -372,7 +430,9 @@ def column_conv(col_feats, zmask, col_keys, col_mask, weight, grid, kernel,
 def downsample_bev_columns(col_keys, col_mask, grid, kernel_yx, stride_yx,
                            pad_yx, out_cap: int, out_hw):
     """Active output column set of a BEV-strided conv (sort-unique-compact,
-    ascending keys, deterministic truncation)."""
+    ascending keys, deterministic truncation). Returns (out_keys,
+    out_mask, n_dropped) — n_dropped counts real active output columns the
+    capacity truncated (capacity-overflow detection, see BASELINE.md)."""
     h, w = grid[1], grid[2]
     oh, ow = out_hw
     y = jnp.where(col_mask, col_keys // w, 0)
@@ -392,7 +452,8 @@ def downsample_bev_columns(col_keys, col_mask, grid, kernel_yx, stride_yx,
     out_keys = jnp.full((out_cap,), oh * ow, jnp.int32).at[
         jnp.where(first, rank, out_cap)
     ].set(jnp.where(first, skey, oh * ow), mode="drop")
-    return out_keys, out_keys < oh * ow
+    n_dropped = jnp.maximum(first.sum(dtype=jnp.int32) - out_cap, 0)
+    return out_keys, out_keys < oh * ow, n_dropped
 
 
 def columns_to_bev(col_feats, zmask, col_keys, col_mask, grid):

@@ -58,7 +58,10 @@ def dma_gather_rows(table, idx, block_rows: int = 256):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(m // block_rows,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        # HBM explicitly: under ANY the compiler promotes small tables to
+        # VMEM, where 1-row slices must be 8-sublane aligned (Mosaic
+        # error); the DMA engine has no such constraint on HBM sources.
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=pl.BlockSpec(
             (block_rows, w), lambda i, idx: (i, 0), memory_space=pltpu.VMEM
         ),

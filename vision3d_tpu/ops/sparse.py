@@ -518,10 +518,210 @@ def csr_rulebook(rec, n, grid, out_keys, out_mask, out_grid, kernel,
 
 
 # Tables at or under this many bytes gather rows at ~2ns (XLA promotes
-# them to VMEM); larger ones pay 15-22ns/row out of HBM. Above the limit
-# a sequential per-sample lax.map keeps each slice under the cliff
-# (measured ~6ns/row including map overhead — still 2.5-3x better).
-VMEM_TABLE_BYTES = 64 * 1024 * 1024
+# them to VMEM); larger ones pay 11-22ns/row out of HBM while the
+# per-sample unrolled gathers run at ~2.8ns/row from their VMEM-promoted
+# slices. The budget carries a safety margin below the observed ~64MB
+# promotion cliff: a 65.5MB table measured 11.3ns/row flat vs 2.8ns/row
+# per-sample (stage-2 densify, 247ms -> 61ms).
+VMEM_TABLE_BYTES = 48 * 1024 * 1024
+
+# int16 slot-map limit: compact column slots must fit int16 (measured
+# active columns: 14k/25k/23k/12k per stage at KITTI density — far under)
+MAX_COL_SLOTS = 32000
+
+
+def build_col_compact(keys, mask, grid, ncol_cap):
+    """Compact per-active-BEV-column records, straight from sorted keys.
+
+    The round-2 rulebooks gathered 16-byte records from a DENSE
+    (B, HW+1, 4) table (288MB at stage 0) at the ~7ns/row HBM rate; this
+    builds the same [w0, w1, w2, colstart] records COMPACTED to active
+    columns only (tens of KB — VMEM resident, ~2.3ns/row) plus an int16
+    BEV cell -> slot map for neighbor lookup. All inputs stay (B, N)
+    cumsum/flag vector math; the only scatters are three sorted-address
+    compactions over (B, N) and one slot-map scatter.
+
+    Returns (t4c (B, NC+1, 4) int32 with a zero miss row at NC,
+    slotmap ((B*(HW+1)+1,) int16, -1 = empty cell), colslot (B, N) int32,
+    ncol_dropped (B,) int32). Requires d <= 48 and ncol_cap <= 32000.
+    """
+    b, n = keys.shape
+    d, h, w = grid
+    hw = h * w
+    nc = int(ncol_cap)
+    assert d <= 48, d
+    # int16 slots while they fit (keeps the big-BEV stage-0 map inside
+    # the VMEM-promotion budget); int32 otherwise (smaller grids)
+    slot_dtype = jnp.int16 if nc <= MAX_COL_SLOTS else jnp.int32
+    cell = jnp.where(mask, keys // d, hw)
+    z = jnp.where(mask, keys % d, 0)
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+
+    f = jnp.concatenate(
+        [jnp.ones((b, 1), bool), cell[:, 1:] != cell[:, :-1]], axis=1
+    ) & mask
+    l = jnp.concatenate(
+        [cell[:, :-1] != cell[:, 1:], jnp.ones((b, 1), bool)], axis=1
+    ) & mask
+    colslot = jnp.cumsum(f.astype(jnp.int32), axis=1) - 1
+    ncol = f.sum(axis=1, dtype=jnp.int32)
+
+    slot_ok = colslot < nc
+    size = b * (nc + 1)
+    addr_f = jnp.where(f & slot_ok, bidx * (nc + 1) + colslot, size)
+    addr_l = jnp.where(l & slot_ok, bidx * (nc + 1) + colslot, size)
+    col_cell = jnp.full((size,), hw, jnp.int32).at[addr_f.reshape(-1)].set(
+        cell.reshape(-1), mode="drop").reshape(b, nc + 1)
+    first = jnp.zeros((size,), jnp.int32).at[addr_f.reshape(-1)].set(
+        rows.reshape(-1), mode="drop").reshape(b, nc + 1)
+    last = jnp.zeros((size,), jnp.int32).at[addr_l.reshape(-1)].set(
+        rows.reshape(-1), mode="drop").reshape(b, nc + 1)
+
+    # per-word z-bit sums over each column's [first, last] row segment;
+    # within a column z is ascending and distinct, so sum == OR
+    words = []
+    for k in range(3):
+        bits = jnp.where(mask & (z // 16 == k), jnp.int32(1) << (z % 16), 0)
+        c = jnp.cumsum(bits, axis=1)
+        seg = (
+            jnp.take_along_axis(c, last, axis=1)
+            - jnp.take_along_axis(c, first, axis=1)
+            + jnp.take_along_axis(bits, first, axis=1)
+        )
+        words.append(seg)
+
+    t4c = jnp.stack(words + [first], axis=-1)  # (B, NC+1, 4)
+    t4c = t4c.at[:, nc].set(0)  # miss row: empty pattern
+
+    map_addr = jnp.where(f & slot_ok, bidx * (hw + 1) + cell,
+                         b * (hw + 1)).reshape(-1)
+    slotmap = jnp.full((b * (hw + 1) + 1,), -1, slot_dtype).at[map_addr].set(
+        jnp.minimum(colslot, nc).astype(slot_dtype).reshape(-1), mode="drop"
+    )
+    ncol_dropped = jnp.maximum(ncol - nc, 0)
+    return t4c, slotmap, colslot, ncol_dropped
+
+
+def _compact_nbr_records(t4c, slotmap, in_grid, out_keys, out_mask,
+                         out_grid, kernel, stride, pad):
+    """Shared neighbor fetch: per (out site, BEV offset) the column record
+    of the queried input cell. Returns (w0, w1, w2, colstart, okbev, oz)
+    with the first five flat (B, M*K2) and oz (B, M)."""
+    b, m = out_keys.shape
+    d, h, w = in_grid
+    hw = h * w
+    kz, ky, kx = kernel
+    k2 = ky * kx
+    q = m * k2
+    od, oh, ow = out_grid
+    ok = jnp.where(out_mask, out_keys, 0)
+    oz = ok % od
+    oy = ok // (ow * od)
+    ox = (ok // od) % ow
+    offs = np.stack(
+        np.meshgrid(np.arange(ky), np.arange(kx), indexing="ij"), -1
+    ).reshape(-1, 2)  # (K2, 2) static
+    ny = (oy[:, :, None] * stride[1] - pad[1] + jnp.asarray(offs)[:, 0]
+          ).reshape(b, q)
+    nx = (ox[:, :, None] * stride[2] - pad[2] + jnp.asarray(offs)[:, 1]
+          ).reshape(b, q)
+    okbev = (
+        (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
+        & jnp.broadcast_to(out_mask[:, :, None], (b, m, k2)).reshape(b, q)
+    )
+    cell = jnp.where(okbev, ny * w + nx, hw)
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    slot = jnp.take(slotmap, (bidx * (hw + 1) + cell).reshape(-1)
+                    ).reshape(b, q).astype(jnp.int32)
+    nc = t4c.shape[1] - 1
+    idx = jnp.where((slot >= 0) & (slot < nc) & okbev, slot, nc)
+    g = _take_maybe_per_sample(t4c, idx)  # (B, Q, 4) from a VMEM table
+    return g[..., 0], g[..., 1], g[..., 2], g[..., 3], okbev, oz
+
+
+def zwin_rulebook_compact(t4c, slotmap, n_in, in_grid, out_keys, out_mask,
+                          out_grid, kernel, stride=(1, 1, 1), pad=(0, 0, 0)):
+    """csr_zwin_rulebook contract — (start, pattern) flat (B, M*K2) —
+    computed from compact column records (build_col_compact) instead of
+    the dense CSR table: one int16 slot-map element gather + one 16-byte
+    record row gather per (site, offset), both from VMEM-resident tables.
+    """
+    b, m = out_keys.shape
+    d = in_grid[0]
+    kz = kernel[0]
+    k2 = kernel[1] * kernel[2]
+    assert kz <= 3
+    w0, w1, w2, colstart, okbev, oz = _compact_nbr_records(
+        t4c, slotmap, in_grid, out_keys, out_mask, out_grid, kernel,
+        stride, pad,
+    )
+
+    def below_mask(t):
+        tc = jnp.clip(t, 0, 16)
+        return jnp.where(tc >= 16, 0xFFFF, (jnp.int32(1) << tc) - 1)
+
+    def bit_at(zq):
+        word = jnp.where(zq < 16, w0, jnp.where(zq < 32, w1, w2))
+        inz = (zq >= 0) & (zq < d)
+        return jnp.where(inz, (word >> jnp.clip(zq % 16, 0, 15)) & 1, 0)
+
+    z0 = jnp.broadcast_to(
+        (oz * stride[0] - pad[0])[:, :, None], (b, m, k2)
+    ).reshape(b, m * k2)
+    pc = jax.lax.population_count
+    z0c = jnp.maximum(z0, 0)
+    rank = (
+        pc(w0 & below_mask(z0c))
+        + pc(w1 & below_mask(z0c - 16))
+        + pc(w2 & below_mask(z0c - 32))
+    )
+    pattern = sum(bit_at(z0 + dz) << dz for dz in range(kz))
+    start = jnp.where((pattern > 0) & okbev, colstart + rank, n_in)
+    pattern = jnp.where(okbev, pattern, 0)
+    return start.astype(jnp.int32), pattern.astype(jnp.int32)
+
+
+def rulebook_compact(t4c, slotmap, n_in, in_grid, out_keys, out_mask,
+                     out_grid, kernel, stride=(1, 1, 1), pad=(0, 0, 0)):
+    """Full per-tap rulebook (csr_rulebook contract: (B, M*K) int32,
+    K = kz*ky*kx in (dz, dy, dx) row-major, misses -> row n_in) from
+    compact column records."""
+    b, m = out_keys.shape
+    d = in_grid[0]
+    kz = kernel[0]
+    k2 = kernel[1] * kernel[2]
+    w0, w1, w2, colstart, okbev, oz = _compact_nbr_records(
+        t4c, slotmap, in_grid, out_keys, out_mask, out_grid, kernel,
+        stride, pad,
+    )
+
+    def below_mask(t):
+        tc = jnp.clip(t, 0, 16)
+        return jnp.where(tc >= 16, 0xFFFF, (jnp.int32(1) << tc) - 1)
+
+    pc = jax.lax.population_count
+    parts = []
+    for dz in range(kz):
+        zq = jnp.broadcast_to(
+            (oz * stride[0] - pad[0] + dz)[:, :, None], (b, m, k2)
+        ).reshape(b, m * k2)
+        inz = (zq >= 0) & (zq < d)
+        zqc = jnp.maximum(zq, 0)
+        rank = (
+            pc(w0 & below_mask(zqc))
+            + pc(w1 & below_mask(zqc - 16))
+            + pc(w2 & below_mask(zqc - 32))
+        )
+        word = jnp.where(zq < 16, w0, jnp.where(zq < 32, w1, w2))
+        bit = (word >> jnp.clip(zq % 16, 0, 15)) & 1
+        hit = inz & (bit > 0) & okbev
+        parts.append(jnp.where(hit, colstart + rank, n_in))
+    # (B, Q=M*K2) per dz, K2-minor -> interleave to (dz, dy, dx) row-major
+    rb = jnp.stack(parts, axis=2)  # (B, Q, kz)? no: parts are (B, M*K2)
+    rb = rb.reshape(b, m, k2, kz)
+    rb = jnp.transpose(rb, (0, 1, 3, 2))  # (B, M, kz, K2)
+    return rb.reshape(b, m * kz * k2).astype(jnp.int32)
 
 
 def _take_maybe_per_sample(table, idx):
@@ -617,6 +817,74 @@ def csr_zwin_rulebook(rec, n, grid, out_keys, out_mask, out_grid, kernel,
     start = jnp.where((pattern > 0) & okbev, colstart + rank, n)
     pattern = jnp.where(okbev, pattern, 0)
     return start.astype(jnp.int32), pattern.astype(jnp.int32)
+
+
+def conv_zwin_apply_v2(feats, start, pattern, weight, kernel,
+                       compute_dtype=jnp.float32):
+    """Z-window conv as kz mask-fused GEMMs (no materialized align pass).
+
+    Same contract as conv_zwin_apply. Rewrites the align-by-shift
+    x = sum_s shift_s(g) * maskexp_s ; out = x @ W           (3 full-size
+    shift/mask passes over the ~C*27-wide gathered tensor, each a
+    read+write of it) into the algebraically equal
+
+        out = sum_s (g * expand(shiftleft_s(mask_s))) @ rollup_s(W)
+
+    where the mask multiply is an elementwise producer XLA fuses into
+    each dot's operand read — the gathered tensor is never rewritten,
+    only read kz times. (shift_s(g)[k] = g[k-sC] makes every term
+    sum_k' g[k'] * mask_s[k'+sC] * W[k'+sC]: a block shift of the
+    C-block-constant mask and of the weight rows.)
+    """
+    b, n, c = feats.shape
+    kz, ky, kx = kernel
+    k2 = ky * kx
+    q = start.shape[1]
+    m = q // k2
+    cout = weight.shape[1]
+
+    fz = jnp.concatenate(
+        [feats, jnp.zeros((b, kz, c), feats.dtype)], axis=1
+    ).astype(compute_dtype)
+    zwin = jnp.concatenate(
+        [fz[:, dz: n + 1 + dz] for dz in range(kz)], axis=-1
+    )  # (B, N+1, kz*C)
+    g = _take_maybe_per_sample(zwin, start)          # (B, Q, kz*C)
+    gm = g.reshape(b, m, k2 * kz, c)
+
+    pat = pattern  # (B, Q)
+    bits = [(pat >> dz) & 1 for dz in range(kz)]
+    jof = [sum(bits[:dz]) if dz else 0 for dz in range(kz)]
+    # weight rows permuted to (k2, dz)-major to match the gathered order
+    w3 = weight.reshape(kz, k2, c, cout).transpose(1, 0, 2, 3)
+    w3 = w3.reshape(k2 * kz, c, cout).astype(compute_dtype)
+
+    out = jnp.zeros((b, m, cout), jnp.float32)
+    for s in range(kz):
+        # candidate j maps to tap dz = j + s (bit dz set, j prior actives)
+        msk = jnp.stack(
+            [
+                (bits[dz] > 0) & (jof[dz] == dz - s) if dz >= s
+                else jnp.zeros_like(pat, dtype=bool)
+                for dz in range(kz)
+            ],
+            axis=-1,
+        ).reshape(b, m, k2 * kz)
+        if s:
+            msk = jnp.concatenate(
+                [msk[:, :, s:], jnp.zeros((b, m, s), bool)], axis=-1
+            )
+            ws = jnp.concatenate(
+                [w3[s:], jnp.zeros((s, c, cout), w3.dtype)], axis=0
+            )
+        else:
+            ws = w3
+        xg = gm * msk[..., None].astype(compute_dtype)
+        out = out + jax.lax.dot_general(
+            xg, ws, (((2, 3), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return out
 
 
 def conv_zwin_apply(feats, start, pattern, weight, kernel,
@@ -777,17 +1045,22 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
         )
     )(keys, mask)
 
-    rec = build_csr(keys, mask, grid)
-    if rec is not None:
+    if grid[0] <= 48:
         # z-window rulebooks: (start, pattern) pairs consumed by
-        # conv_zwin_apply — 9 window gathers per site instead of 27
+        # conv_zwin_apply — 9 window gathers per site instead of 27.
+        # Built from COMPACT per-active-column records (VMEM-resident,
+        # ~2.3ns/row) instead of the dense (B, HW+1, 4) CSR table whose
+        # 288MB stage-0 record gathers ran at ~7ns/row (round-3 rework).
+        # cap = n: columns can never exceed sites, so no truncation here
+        t4c, slotmap, _, _ = build_col_compact(keys, mask, grid, n)
         pad_s = tuple(s // 2 for s in subm_kernel) if subm_kernel else None
         rbs = None
         if subm_kernel is not None:
-            rbs = csr_zwin_rulebook(rec, n, grid, keys, mask, grid,
-                                    subm_kernel, (1, 1, 1), pad_s)
-        rbd = csr_zwin_rulebook(rec, n, grid, out_keys, out_mask, out_grid,
-                                down_kernel, down_stride, down_pad)
+            rbs = zwin_rulebook_compact(t4c, slotmap, n, grid, keys, mask,
+                                        grid, subm_kernel, (1, 1, 1), pad_s)
+        rbd = zwin_rulebook_compact(t4c, slotmap, n, grid, out_keys,
+                                    out_mask, out_grid, down_kernel,
+                                    down_stride, down_pad)
         return rbs, rbd, out_keys, out_mask, n_dropped
 
     ztab = build_zcol_table(keys, mask, grid)
@@ -1003,15 +1276,15 @@ def plan_stage_train_batched(keys, mask, grid, down_kernel, down_stride,
         )
     )(keys, mask)
 
-    rec = build_csr(keys, mask, grid)
     pad_s = tuple(s // 2 for s in subm_kernel) if subm_kernel else None
-    if rec is not None:
+    if grid[0] <= 48:
+        t4c, slotmap, _, _ = build_col_compact(keys, mask, grid, n)
         rbs = None
         if subm_kernel is not None:
-            rbs = csr_rulebook(rec, n, grid, keys, mask, grid, subm_kernel,
-                               (1, 1, 1), pad_s)
-        rbd = csr_rulebook(rec, n, grid, out_keys, out_mask, out_grid,
-                           down_kernel, down_stride, down_pad)
+            rbs = rulebook_compact(t4c, slotmap, n, grid, keys, mask, grid,
+                                   subm_kernel, (1, 1, 1), pad_s)
+        rbd = rulebook_compact(t4c, slotmap, n, grid, out_keys, out_mask,
+                               out_grid, down_kernel, down_stride, down_pad)
     else:
         table = build_dense_table(keys, mask, grid)
         qd = neighbor_queries(out_keys, out_mask, out_grid, grid,

@@ -31,6 +31,8 @@ def main(argv=None):
     ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--metrics-jsonl", default="./metrics.jsonl")
+    ap.add_argument("--workers", type=int, default=6,
+                    help="data-loader worker processes (reference train.py:18)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -65,7 +67,8 @@ def main(argv=None):
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_overrides))
 
     dataset = KittiDatasetTrain(cfg, rng=np.random.default_rng(args.seed))
-    loader = DataLoader(dataset, cfg, seed=args.seed)
+    loader = DataLoader(dataset, cfg, seed=args.seed,
+                        num_workers=args.workers)
     steps_per_epoch = len(loader)
 
     model, tx, state = create_train_state(
