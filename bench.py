@@ -74,6 +74,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--backend", default=None,
                     help="sparse backend override: voxel | column")
+    ap.add_argument("--model", default="second",
+                    choices=["second", "pvrcnn", "pvrcnn2"],
+                    help="pvrcnn = stage-1 proposal path; pvrcnn2 = full "
+                         "two-stage (RoI grid pool + refinement)")
     args = ap.parse_args()
 
     import jax
@@ -122,10 +126,24 @@ def main():
     points = jnp.asarray(np.stack(clouds))
     num = jnp.full((total_batch,), P, jnp.int32)
 
-    model, variables = create_second(
-        cfg, jax.random.PRNGKey(0), (points[:1], num[:1])
-    )
     anchors = jnp.asarray(make_anchors(cfg))
+    if args.model == "second":
+        model, variables = create_second(
+            cfg, jax.random.PRNGKey(0), (points[:1], num[:1])
+        )
+        infer_method, extra = Second.inference, {}
+    else:
+        from vision3d_tpu.models.pvrcnn import PV_RCNN, create_pvrcnn
+
+        model, variables = create_pvrcnn(
+            cfg, jax.random.PRNGKey(0), (points[:1], num[:1]),
+            two_stage=args.model == "pvrcnn2",
+        )
+        if args.model == "pvrcnn2":
+            infer_method = PV_RCNN.inference_two_stage
+            extra = dict(rng=jax.random.PRNGKey(0))
+        else:
+            infer_method, extra = PV_RCNN.inference, {}
 
     if ndev > 1:
         from vision3d_tpu.parallel import mesh as pmesh
@@ -137,7 +155,7 @@ def main():
 
     def infer(points, num):
         return model.apply(
-            variables, points, num, anchors, method=Second.inference
+            variables, points, num, anchors, method=infer_method, **extra
         )
 
     # capacity-overflow diagnostics (outside the timed loop): stage_dropped
@@ -146,8 +164,8 @@ def main():
     # partially-blanked network (the round-1 bug class).
     _, diag = jax.jit(
         lambda p, n: model.apply(
-            variables, p, n, anchors, method=Second.inference,
-            mutable=["diagnostics"],
+            variables, p, n, anchors, method=infer_method,
+            mutable=["diagnostics"], **extra,
         )
     )(points, num)
     flat = {}
@@ -202,7 +220,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "second_inference_frames_per_sec_per_chip",
+                "metric": f"{args.model}_inference_frames_per_sec_per_chip"
+                if args.model != "second"
+                else "second_inference_frames_per_sec_per_chip",
                 "value": round(float(fps), 2),
                 "unit": "frames/s",
                 "vs_baseline": round(float(fps) / baseline_fps, 4),

@@ -1,0 +1,90 @@
+"""Pallas kernels vs their XLA reference implementations.
+
+Runs everywhere: on CPU the kernels execute in Pallas interpret mode
+(same program, emulated), on TPU they compile through Mosaic. The XLA
+references are themselves golden-tested elsewhere (test_sparse.py,
+test_column_sparse.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision3d_tpu.ops import column_sparse as csp
+from vision3d_tpu.ops import sparse as sp
+from vision3d_tpu.ops.pallas.column_conv import column_conv_pallas
+from vision3d_tpu.ops.pallas.zwin_conv import conv_zwin_apply_pallas
+
+
+@pytest.mark.parametrize("cout", [16, 32])
+def test_zwin_conv_pallas_matches_xla(rng, cout):
+    B, N, C, M = 2, 300, 16, 260
+    feats = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    start = jnp.asarray(rng.integers(0, N + 1, (B, M * 9)).astype(np.int32))
+    pattern = jnp.where(
+        start == N, 0,
+        jnp.asarray(rng.integers(0, 8, (B, M * 9)).astype(np.int32)),
+    )
+    w = jnp.asarray(rng.normal(size=(27 * C, cout)), jnp.float32)
+    ref = sp.conv_zwin_apply(feats, start, pattern, w, (3, 3, 3),
+                             compute_dtype=jnp.bfloat16)
+    got = conv_zwin_apply_pallas(feats, start, pattern, w, (3, 3, 3))
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2 * scale, rtol=2e-2)
+
+
+@pytest.mark.parametrize("sz,pz", [(1, 1), (2, 1)])
+def test_column_conv_pallas_matches_xla(rng, sz, pz):
+    B, N, D, C, Cout, M = 2, 200, 21, 32, 32, 130
+    cf = jnp.asarray(rng.normal(size=(B, N, D * C)), jnp.bfloat16)
+    rb = jnp.asarray(rng.integers(0, N + 1, (B, M * 9)).astype(np.int32))
+    w = jnp.asarray(rng.normal(size=(27 * C, Cout)), jnp.float32)
+    ref = csp.column_conv_batched(cf, rb, w, (3, 3, 3), D, C, sz, pz,
+                                  compute_dtype=jnp.bfloat16)
+    got = column_conv_pallas(cf, rb, w, (3, 3, 3), D, C, sz, pz,
+                             block_cols=128)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2 * scale, rtol=2e-2)
+
+
+def test_compact_rulebooks_match_csr(rng):
+    """build_col_compact rulebooks == dense-CSR rulebooks on random sets."""
+    B, N = 3, 500
+    grid = (12, 40, 36)
+    d, h, w = grid
+    keys, mask = [], []
+    for _ in range(B):
+        nact = int(rng.integers(300, 480))
+        k = np.sort(rng.choice(d * h * w, nact, replace=False)).astype(np.int32)
+        k = np.concatenate([k, np.full(N - nact, d * h * w, np.int32)])
+        keys.append(k)
+        mask.append(np.arange(N) < nact)
+    keys = jnp.asarray(np.stack(keys))
+    mask = jnp.asarray(np.stack(mask))
+
+    ok_, om_, _ = jax.vmap(lambda kk, mm: sp.downsample_active_set(
+        kk, mm, grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), 400))(keys, mask)
+    og = sp.out_grid_shape(grid, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+
+    rec = sp.build_csr(keys, mask, grid)
+    t4c, slotmap, _, ncdrop = sp.build_col_compact(keys, mask, grid, 400)
+    assert int(np.asarray(ncdrop).sum()) == 0
+
+    for outk, outm, outg, st, pd in [
+        (keys, mask, grid, (1, 1, 1), (1, 1, 1)),
+        (ok_, om_, og, (2, 2, 2), (1, 1, 1)),
+    ]:
+        s1, p1 = sp.csr_zwin_rulebook(rec, N, grid, outk, outm, outg,
+                                      (3, 3, 3), st, pd)
+        s2, p2 = sp.zwin_rulebook_compact(t4c, slotmap, N, grid, outk, outm,
+                                          outg, (3, 3, 3), st, pd)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        r1 = sp.csr_rulebook(rec, N, grid, outk, outm, outg, (3, 3, 3),
+                             st, pd)
+        r2 = sp.rulebook_compact(t4c, slotmap, N, grid, outk, outm, outg,
+                                 (3, 3, 3), st, pd)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))

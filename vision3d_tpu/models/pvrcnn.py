@@ -171,11 +171,20 @@ class PV_RCNN(nn.Module):
         cls_map, reg_map = self(points, num_points, train=False)
         return head_inference(cls_map, reg_map, anchors, self.cfg)
 
-    def inference_two_stage(self, points, num_points, anchors, rng):
+    def inference_two_stage(self, points, num_points, anchors, rng,
+                            rerank_only: bool = False):
         """Refined detections: stage-2 deltas applied to proposals, scored
-        by refinement confidence * proposal score, rotated NMS."""
+        by refinement confidence * proposal score, rotated NMS.
+
+        ``rerank_only`` reproduces the reference RefinementLayer.inference
+        selection instead (top-k by confidence, no NMS — reference
+        refinement.py:34-45); the default NMS path is this repo's
+        completion of that unreachable upstream variant."""
         from vision3d_tpu.models.head import multiclass_nms
-        from vision3d_tpu.models.refinement import apply_refinements
+        from vision3d_tpu.models.refinement import (
+            apply_refinements,
+            refine_topk,
+        )
 
         c = self.cfg
         out = self.two_stage(points, num_points, anchors, rng, train=False)
@@ -183,6 +192,8 @@ class PV_RCNN(nn.Module):
         conf = jax.nn.sigmoid(out["conf_logits"]) * out["proposal_scores"]
         b = refined.shape[0]
         k = c.proposal.topk
+        if rerank_only:
+            return refine_topk(refined, conf, k)
         boxes = refined.reshape(b, c.num_classes, k, c.box_dof)
         scores = conf.reshape(b, c.num_classes, k)
         return multiclass_nms(boxes, scores, c)

@@ -20,7 +20,7 @@ Behavioral spec from the reference:
     assign_refinement_targets).
 """
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -33,17 +33,28 @@ from vision3d_tpu.models.pointnet import SetAbstractionMSG
 
 
 class MLP(nn.Module):
-    """Linear(+ReLU) stack (reference detector/layers.py:53-73)."""
+    """Linear(+BN)(+ReLU) stack (reference detector/layers.py:53-73).
+
+    ``bn`` mirrors the reference's per-layer flag (a bool for all layers
+    or a per-layer tuple); no reference model config enables it, so the
+    default matches the shipped behavior."""
 
     widths: Tuple[int, ...]
     final_activation: bool = True
     use_bias: bool = False
+    bn: Any = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        bn = self.bn if isinstance(self.bn, (tuple, list)) else (
+            (self.bn,) * len(self.widths)
+        )
         for i, w in enumerate(self.widths):
             x = nn.Dense(w, use_bias=self.use_bias,
                          kernel_init=nn.initializers.normal(0.01))(x)
+            if bn[i]:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.99, epsilon=1e-3)(x)
             if self.final_activation or i < len(self.widths) - 1:
                 x = nn.relu(x)
         return x
@@ -101,6 +112,18 @@ def apply_refinements(box_deltas, proposals):
     """Completed reference TODO (refinement.py:32-33): residuals decode
     against the proposal treated as the anchor, same codec as stage 1."""
     return decode(box_deltas, proposals)
+
+
+def refine_topk(boxes, scores, k: int):
+    """Reference RefinementLayer.inference selection (refinement.py:34-45):
+    rank refined boxes by confidence and keep the top-k — NO NMS (the
+    upstream two-stage inference path only re-ranks; it is unreachable
+    there because apply_refinements raises, but the selection semantics
+    are preserved here as the parity variant of inference_two_stage's
+    NMS path). boxes (B, N, 7), scores (B, N) -> ((B, k, 7), (B, k),
+    indices (B, k))."""
+    sc, idx = jax.lax.top_k(scores, k)
+    return jnp.take_along_axis(boxes, idx[..., None], axis=1), sc, idx
 
 
 def refinement_loss(box_deltas, score_logits, proposals, proposal_valid,

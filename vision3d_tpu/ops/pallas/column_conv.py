@@ -142,5 +142,6 @@ def column_conv_pallas(col_feats, rb_idx, weight, kernel, d, c, stride_z=1,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=jax.default_backend() != "tpu",  # CPU tests
     )(rb_blocks, table, wperm)
     return out[:, :m]
