@@ -1,13 +1,15 @@
 """Pallas DMA row-gather: many outstanding HBM row copies per block.
 
-STATUS (round 3): the XLA row gather runs at ~19 ns/row for the sparse
-CNN's hot shapes regardless of table size (tables from 8 MB to 1 GB,
-rows 128-512 B physical). Each gathered row is latency-bound, so the fix
-is CONCURRENCY, not locality: this kernel issues a whole block of per-row
-HBM->VMEM DMAs back to back on one shared semaphore before waiting,
-keeping O(block) copies in flight. Round 2's prototype waited each row's
-DMA serially (~7.5 ns/row); measured rates for this kernel are in
-ARCHITECTURE.md (tools/microbench_r3.py).
+STATUS (round 3, MEASURED NEGATIVE — kept as an engineering record):
+per-row DMA issue is SCALAR-CORE-BOUND at ~25ns/row (one SMEM index
+load + descriptor setup + start per fori iteration, issue+drain loops),
+independent of block size — worse than XLA's per-sample row gather
+(~2.8-3ns/row, which is itself at the physical tile-fetch floor: every
+row costs ceil(lanes/128) x 2KB of HBM traffic). See ARCHITECTURE.md
+"Round-3 measurement campaign". Production gathers therefore stay on
+XLA; Pallas is used only for the compute on gathered data
+(ops/pallas/zwin_conv.py). This kernel remains the concurrency-correct
+DMA-gather reference (block of copies in flight on one semaphore).
 
 Semantics: out[i] = table[idx[i]]. Rows must be in [0, R). The row
 payload should be a multiple of 128 lanes for best DMA efficiency — pad

@@ -819,74 +819,6 @@ def csr_zwin_rulebook(rec, n, grid, out_keys, out_mask, out_grid, kernel,
     return start.astype(jnp.int32), pattern.astype(jnp.int32)
 
 
-def conv_zwin_apply_v2(feats, start, pattern, weight, kernel,
-                       compute_dtype=jnp.float32):
-    """Z-window conv as kz mask-fused GEMMs (no materialized align pass).
-
-    Same contract as conv_zwin_apply. Rewrites the align-by-shift
-    x = sum_s shift_s(g) * maskexp_s ; out = x @ W           (3 full-size
-    shift/mask passes over the ~C*27-wide gathered tensor, each a
-    read+write of it) into the algebraically equal
-
-        out = sum_s (g * expand(shiftleft_s(mask_s))) @ rollup_s(W)
-
-    where the mask multiply is an elementwise producer XLA fuses into
-    each dot's operand read — the gathered tensor is never rewritten,
-    only read kz times. (shift_s(g)[k] = g[k-sC] makes every term
-    sum_k' g[k'] * mask_s[k'+sC] * W[k'+sC]: a block shift of the
-    C-block-constant mask and of the weight rows.)
-    """
-    b, n, c = feats.shape
-    kz, ky, kx = kernel
-    k2 = ky * kx
-    q = start.shape[1]
-    m = q // k2
-    cout = weight.shape[1]
-
-    fz = jnp.concatenate(
-        [feats, jnp.zeros((b, kz, c), feats.dtype)], axis=1
-    ).astype(compute_dtype)
-    zwin = jnp.concatenate(
-        [fz[:, dz: n + 1 + dz] for dz in range(kz)], axis=-1
-    )  # (B, N+1, kz*C)
-    g = _take_maybe_per_sample(zwin, start)          # (B, Q, kz*C)
-    gm = g.reshape(b, m, k2 * kz, c)
-
-    pat = pattern  # (B, Q)
-    bits = [(pat >> dz) & 1 for dz in range(kz)]
-    jof = [sum(bits[:dz]) if dz else 0 for dz in range(kz)]
-    # weight rows permuted to (k2, dz)-major to match the gathered order
-    w3 = weight.reshape(kz, k2, c, cout).transpose(1, 0, 2, 3)
-    w3 = w3.reshape(k2 * kz, c, cout).astype(compute_dtype)
-
-    out = jnp.zeros((b, m, cout), jnp.float32)
-    for s in range(kz):
-        # candidate j maps to tap dz = j + s (bit dz set, j prior actives)
-        msk = jnp.stack(
-            [
-                (bits[dz] > 0) & (jof[dz] == dz - s) if dz >= s
-                else jnp.zeros_like(pat, dtype=bool)
-                for dz in range(kz)
-            ],
-            axis=-1,
-        ).reshape(b, m, k2 * kz)
-        if s:
-            msk = jnp.concatenate(
-                [msk[:, :, s:], jnp.zeros((b, m, s), bool)], axis=-1
-            )
-            ws = jnp.concatenate(
-                [w3[s:], jnp.zeros((s, c, cout), w3.dtype)], axis=0
-            )
-        else:
-            ws = w3
-        xg = gm * msk[..., None].astype(compute_dtype)
-        out = out + jax.lax.dot_general(
-            xg, ws, (((2, 3), (0, 1)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    return out
-
-
 def conv_zwin_apply(feats, start, pattern, weight, kernel,
                     compute_dtype=jnp.float32):
     """Z-window gather + align + one GEMM.
