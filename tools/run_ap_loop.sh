@@ -1,0 +1,42 @@
+#!/bin/bash
+# End-to-end AP loop on synthetic KITTI (VERDICT r2 item 2):
+#   train (train_cli, full real data pipeline + augmentation)
+#   -> eval (eval_cli, official-protocol 3D AP@R40)
+#   -> torch cross-check (tools/torch_crosscheck.py)
+# Produces AP_r03.json at the repo root.
+set -e
+cd "$(dirname "$0")/.."
+DATA=data/synth_kitti
+EPOCHS=${EPOCHS:-24}
+CKPT=./ckpts_synth
+
+python -m vision3d_tpu.train_cli --config configs/second/car.yaml \
+  --data-root $DATA/training/ --split-dir $DATA/splitfiles/ \
+  --cache-dir $DATA/cache/ --ckpt-dir $CKPT --batch-size 8 \
+  --epochs $EPOCHS --workers 6 --metrics-jsonl ./metrics_synth.jsonl
+
+LAST=$(ls -d $CKPT/epoch_* | sed 's/.*epoch_//' | sort -n | tail -1)
+python -m vision3d_tpu.eval_cli --config configs/second/car.yaml \
+  --data-root $DATA/training/ --split-dir $DATA/splitfiles/ \
+  --cache-dir $DATA/cache/ --ckpt $CKPT/epoch_$LAST --split val \
+  --batch-size 8 --out-json ./AP_r03_ours.json
+
+python tools/torch_crosscheck.py --ckpt $CKPT/epoch_$LAST \
+  --config configs/second/car.yaml --data-root $DATA/training/ \
+  --split-dir $DATA/splitfiles/ --cache-dir $DATA/cache/ \
+  --frames 16 --out-json ./AP_r03_crosscheck.json
+
+python - <<'EOF'
+import json
+ours = json.load(open("AP_r03_ours.json"))
+cross = json.load(open("AP_r03_crosscheck.json"))
+json.dump(
+    dict(
+        dataset="synthetic KITTI (tools/make_synthetic_kitti.py, 400 train / 100 val)",
+        ap_val_full=ours,
+        crosscheck=cross,
+    ),
+    open("AP_r03.json", "w"), indent=2,
+)
+print(json.dumps(json.load(open("AP_r03.json")), indent=2))
+EOF

@@ -204,16 +204,23 @@ class AnnotationLoader:
         return annotations
 
     def _crop_points(self, annotations):
+        # per-file (not per-directory) existence check: splits share the
+        # directory, so a dir-level skip would leave every split after the
+        # first without its reduced scans
         out_dir = osp.join(self.cfg.data.rootdir, "velodyne_reduced")
-        if osp.isdir(out_dir):
-            self._log(f"Found existing reduced points: {out_dir}")
-            return
-        os.makedirs(out_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
         for anno in annotations.values():
             base = osp.basename(anno["velo_path"])
+            out_path = osp.join(out_dir, base)
+            if osp.isfile(out_path):
+                continue
             pts = read_velo(osp.join(self.cfg.data.rootdir, "velodyne", base))
             pts = filter_camera_fov(anno["calib"], pts)
-            pts.astype(np.float32).tofile(osp.join(out_dir, base))
+            pts.astype(np.float32).tofile(out_path)
+            n += 1
+        if n:
+            self._log(f"Wrote {n} reduced scans: {out_dir}")
 
 
 class KittiDataset:

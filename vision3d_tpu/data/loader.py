@@ -140,6 +140,20 @@ class DataLoader:
             items = [self.dataset[int(j)] for j in sel]
             yield collate(items, self.cfg, self.rng)
 
+    def _executor(self):
+        # one persistent pool across epochs: spawn startup (interpreter +
+        # dataset pickle per worker) costs ~10-15s and would otherwise be
+        # paid at every epoch boundary
+        if getattr(self, "_pool", None) is None:
+            # spawn, as the reference does (train.py:99): forking a
+            # process that already initialized a TPU backend can deadlock
+            ctx = multiprocessing.get_context("spawn")
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers, mp_context=ctx,
+                initializer=_init_worker, initargs=(self.dataset, self.cfg),
+            )
+        return self._pool
+
     def _iter_mp(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
@@ -150,25 +164,24 @@ class DataLoader:
              int(self.rng.integers(0, 2**31)))
             for i in range(nb)
         ]
-        # spawn, as the reference does (train.py:99): forking a process
-        # that already initialized a TPU backend can deadlock
-        ctx = multiprocessing.get_context("spawn")
-        with ProcessPoolExecutor(
-            max_workers=self.num_workers, mp_context=ctx,
-            initializer=_init_worker, initargs=(self.dataset, self.cfg),
-        ) as ex:
-            inflight = max(self.num_workers + self.prefetch, 2)
-            futures = [
-                ex.submit(_worker_batch, idx, seed)
-                for idx, seed in jobs[:inflight]
-            ]
-            nxt = inflight
-            for i in range(nb):
-                batch = futures[i].result()
-                if nxt < nb:
-                    futures.append(ex.submit(_worker_batch, *jobs[nxt]))
-                    nxt += 1
-                yield batch
+        ex = self._executor()
+        inflight = max(self.num_workers + self.prefetch, 2)
+        futures = [
+            ex.submit(_worker_batch, idx, seed)
+            for idx, seed in jobs[:inflight]
+        ]
+        nxt = inflight
+        for i in range(nb):
+            batch = futures[i].result()
+            if nxt < nb:
+                futures.append(ex.submit(_worker_batch, *jobs[nxt]))
+                nxt += 1
+            yield batch
+
+    def close(self):
+        if getattr(self, "_pool", None) is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
 
     def __iter__(self):
         if self.num_workers > 0:

@@ -67,6 +67,10 @@ def main(argv=None):
 
     import dataclasses
 
+    from vision3d_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from vision3d_tpu.config import Config
     from vision3d_tpu.data.kitti import KittiDataset
     from vision3d_tpu.training.checkpoint import load_checkpoint

@@ -23,6 +23,10 @@ def main(argv=None):
     ap.add_argument("--out", default=None, help="output BEV image path")
     args = ap.parse_args(argv)
 
+    from vision3d_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from vision3d_tpu.config import Config
     from vision3d_tpu.core.anchors import make_anchors
     from vision3d_tpu.data.kitti import read_velo

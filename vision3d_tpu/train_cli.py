@@ -36,6 +36,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
+    from vision3d_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from vision3d_tpu.config import Config
     from vision3d_tpu.data.kitti import KittiDatasetTrain
     from vision3d_tpu.data.loader import DataLoader
@@ -92,9 +96,15 @@ def main(argv=None):
         writers=[StdoutWriter(), JsonlWriter(args.metrics_jsonl)]
     )
 
+    import time
+
     step = int(jax.device_get(state.step))
     for epoch in range(start_epoch, cfg.train.epochs):
+        t_epoch = time.perf_counter()
+        t_host = 0.0
+        t0 = time.perf_counter()
         for batch in loader:
+            t_host += time.perf_counter() - t0
             batch.pop("frame_idx", None)
             batch = shard_batch(
                 {k: jnp.asarray(v) for k, v in batch.items()}, mesh
@@ -102,11 +112,21 @@ def main(argv=None):
             state, losses = step_fn(state, batch)
             step += 1
             logger.update(step, losses)
+            t0 = time.perf_counter()
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t_epoch
+        n_frames = steps_per_epoch * cfg.train.batch_size
+        print(
+            f"epoch {epoch}: {dt:.1f}s ({n_frames / dt:.1f} frames/s; "
+            f"host wait {t_host:.1f}s = {t_host / dt:.0%})", flush=True,
+        )
         # every-3-epochs semantics per the reference (train.py:71-72):
         # save after epochs 3, 6, ... and always after the last one.
         if (epoch + 1) % cfg.train.ckpt_interval_epochs == 0 or epoch == cfg.train.epochs - 1:
             path = save_checkpoint(cfg.train.ckpt_dir, state, epoch)
             print(f"saved {path}")
+    if hasattr(loader, "close"):
+        loader.close()
 
 
 if __name__ == "__main__":
