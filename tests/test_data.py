@@ -163,6 +163,23 @@ def test_train_dataset_and_loader(kitti_tree):
     assert (b["num_points"] > 0).all()
 
 
+def test_loader_host_sharding(kitti_tree):
+    """Multi-host input sharding: same-seeded shard loaders partition the
+    epoch — disjoint frames, full coverage, equal batch counts."""
+    cfg, _ = kitti_tree
+    ds = KittiDatasetTrain(cfg, verbose=False, rng=np.random.default_rng(0))
+    shards = [
+        DataLoader(ds, cfg, batch_size=1, seed=7, num_shards=2, shard_id=i)
+        for i in range(2)
+    ]
+    assert len(shards[0]) == len(shards[1]) == 1
+    seen = []
+    for ld in shards:
+        for b in ld:
+            seen.extend(int(i) for i in b["frame_idx"])
+    assert len(seen) == len(set(seen)) == 2  # disjoint, 2 of 2 frames
+
+
 def test_pad_points_semantics(rng):
     pts = rng.normal(size=(10, 4)).astype(np.float32)
     padded, n = pad_points(pts, 16, rng)

@@ -169,9 +169,18 @@ class AnnotationLoader:
 
     def _load(self):
         if osp.isfile(self.cache_path):
-            self._log(f"Loading cached annotations: {self.cache_path}")
             with open(self.cache_path, "rb") as f:
-                return pickle.load(f)
+                cached = pickle.load(f)
+            # the cache must COVER the requested split (a cache built from
+            # a subset silently KeyErrors mid-epoch otherwise — rebuild)
+            missing = [i for i in self.inds if i not in cached]
+            if not missing:
+                self._log(f"Loading cached annotations: {self.cache_path}")
+                return cached
+            self._log(
+                f"Cache {self.cache_path} lacks {len(missing)} of "
+                f"{len(self.inds)} frames; rebuilding"
+            )
         os.makedirs(self.cfg.data.cachedir, exist_ok=True)
         annotations = self._create()
         self._crop_points(annotations)

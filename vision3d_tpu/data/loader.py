@@ -114,7 +114,8 @@ class DataLoader:
     ~50-100 ms/frame, so threads cannot feed a fast train step)."""
 
     def __init__(self, dataset, cfg: Config, batch_size=None, shuffle=True,
-                 drop_last=True, seed=0, prefetch=2, num_workers=0):
+                 drop_last=True, seed=0, prefetch=2, num_workers=0,
+                 num_shards=1, shard_id=0):
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size or cfg.train.batch_size
@@ -123,17 +124,28 @@ class DataLoader:
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.num_workers = num_workers
+        # multi-host input sharding: every process builds the SAME shuffled
+        # epoch order (same seed) and keeps a disjoint stride-slice of it;
+        # batch_size here is the PER-PROCESS batch (global / num_shards)
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+
+    def _order(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id::self.num_shards]
+        return order
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batches(self):
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            self.rng.shuffle(order)
+        order = self._order()
         nb = len(self)
         for i in range(nb):
             sel = order[i * self.batch_size : (i + 1) * self.batch_size]
@@ -155,13 +167,14 @@ class DataLoader:
         return self._pool
 
     def _iter_mp(self):
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            self.rng.shuffle(order)
+        order = self._order()
         nb = len(self)
         jobs = [
+            # shard_id decorrelates augmentation draws across hosts (every
+            # host's rng emits the same stream to keep shuffles in sync)
             (order[i * self.batch_size : (i + 1) * self.batch_size],
-             int(self.rng.integers(0, 2**31)))
+             int(self.rng.integers(0, 2**31)) ^ (self.shard_id * 0x5BD1E995
+                                                 & 0x7FFFFFFF))
             for i in range(nb)
         ]
         ex = self._executor()

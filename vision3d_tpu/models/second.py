@@ -80,6 +80,23 @@ class Second(nn.Module):
         cls_map, reg_map = self(points, num_points, train=False)
         return head_inference(cls_map, reg_map, anchors, self.cfg)
 
+    def inference_prefix(self, points, num_points, anchors, n_stages=4,
+                         with_rpn=False, with_nms=False):
+        """Diagnostics entry (tools/compile_bisect.py): only the first
+        ``n_stages`` CNN stages (optionally +RPN/head, +decode/NMS), so
+        compile time and runtime can be attributed per pipeline segment."""
+        vox = voxelize_batch(points, num_points, self.cfg)
+        st = build_middle_input(self.cfg, vox)
+        if not with_rpn:
+            _, s = self.cnn(st, False, need_scales=False, n_stages=n_stages)
+            return s
+        _, bev = self.cnn(st, False, need_scales=False)
+        cls_map, reg_map = self.head(self.rpn(bev, False))
+        if not with_nms:
+            return (jnp.sum(cls_map.astype(jnp.float32))
+                    + jnp.sum(reg_map.astype(jnp.float32)))
+        return head_inference(cls_map, reg_map, anchors, self.cfg)
+
 
 def create_second(cfg: Config, rng: jax.Array, example_batch=None):
     """Initialize a Second model; returns (module, variables)."""

@@ -584,17 +584,24 @@ class SpMiddleFHD(nn.Module):
         ]
 
     @nn.compact
-    def __call__(self, st, train: bool = False, need_scales: bool = True):
+    def __call__(self, st, train: bool = False, need_scales: bool = True,
+                 n_stages: int = None):
         """Returns (multiscale [stride-1, 2, 4, 8 tensors], bev map).
 
         Works on either representation; with ColumnTensor input the
         multiscale outputs are converted to voxel-sparse form (as needed
         by PV-RCNN's set abstraction) only when ``need_scales``.
+
+        ``n_stages`` (diagnostics only, tools/compile_bisect.py): stop
+        after the first n blocks and return (None, scalar summary) so
+        compile time can be attributed per stage.
         """
         scales = [st]
         x = st
         dt = self.cfg.compute_dtype
         for si, (subm_channels, down) in enumerate(self.block_specs()):
+            if n_stages is not None and si >= n_stages:
+                return None, jnp.sum(x.feats.astype(jnp.float32))
             if si >= self.cfg.dense_from_stage:
                 # late stages run as dense masked volumes (see DenseTensor)
                 if isinstance(x, SparseTensor):
@@ -648,6 +655,8 @@ class SpMiddleFHD(nn.Module):
             x = SparseConvDown(dtype=dt, **down)(x, train, plan=plan)
             scales.append(x)
         bev = to_bev(scales[-1])
+        if n_stages is not None:
+            return None, jnp.sum(bev.astype(jnp.float32))
         scales = scales[:-1]
         if not need_scales:
             return None, bev

@@ -43,7 +43,13 @@ def main(argv=None):
     from vision3d_tpu.config import Config
     from vision3d_tpu.data.kitti import KittiDatasetTrain
     from vision3d_tpu.data.loader import DataLoader
-    from vision3d_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from vision3d_tpu.parallel.mesh import (
+        initialize_distributed, make_mesh, replicate, shard_batch,
+    )
+
+    # multi-host (one process per host): no-op single-process
+    initialize_distributed()
+    n_proc, proc_id = jax.process_count(), jax.process_index()
     from vision3d_tpu.training.checkpoint import maybe_resume, save_checkpoint
     from vision3d_tpu.training.metrics import JsonlWriter, MetricLogger, StdoutWriter
     from vision3d_tpu.training.train import create_train_state, make_train_step
@@ -70,9 +76,15 @@ def main(argv=None):
     if data_overrides:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_overrides))
 
-    dataset = KittiDatasetTrain(cfg, rng=np.random.default_rng(args.seed))
+    dataset = KittiDatasetTrain(cfg, rng=np.random.default_rng(args.seed),
+                                verbose=proc_id == 0)
+    # cfg.train.batch_size is the GLOBAL batch; each process loads and
+    # collates only its own 1/n_proc shard of every epoch
+    assert cfg.train.batch_size % n_proc == 0, (cfg.train.batch_size, n_proc)
     loader = DataLoader(dataset, cfg, seed=args.seed,
-                        num_workers=args.workers)
+                        batch_size=cfg.train.batch_size // n_proc,
+                        num_workers=args.workers,
+                        num_shards=n_proc, shard_id=proc_id)
     steps_per_epoch = len(loader)
 
     model, tx, state = create_train_state(
@@ -82,18 +94,24 @@ def main(argv=None):
     if args.resume:
         state, start_epoch = maybe_resume(cfg.train.ckpt_dir, state)
 
-    # use the largest device count that divides the batch size
-    devices = jax.devices()
-    n = len(devices)
-    while cfg.train.batch_size % n:
-        n -= 1
-    mesh = make_mesh(devices[:n])
-    if n != len(devices):
-        print(f"using {n}/{len(devices)} devices (batch {cfg.train.batch_size})")
+    if n_proc > 1:
+        # the global mesh spans every host; no device subsetting
+        assert cfg.train.batch_size % jax.device_count() == 0
+        mesh = make_mesh()
+    else:
+        # use the largest device count that divides the batch size
+        devices = jax.devices()
+        n = len(devices)
+        while cfg.train.batch_size % n:
+            n -= 1
+        mesh = make_mesh(devices[:n])
+        if n != len(devices):
+            print(f"using {n}/{len(devices)} devices (batch {cfg.train.batch_size})")
     state = replicate(state, mesh)
     step_fn = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
     logger = MetricLogger(
         writers=[StdoutWriter(), JsonlWriter(args.metrics_jsonl)]
+        if proc_id == 0 else []
     )
 
     import time
@@ -116,15 +134,18 @@ def main(argv=None):
         jax.block_until_ready(state.params)
         dt = time.perf_counter() - t_epoch
         n_frames = steps_per_epoch * cfg.train.batch_size
-        print(
-            f"epoch {epoch}: {dt:.1f}s ({n_frames / dt:.1f} frames/s; "
-            f"host wait {t_host:.1f}s = {t_host / dt:.0%})", flush=True,
-        )
+        if proc_id == 0:
+            print(
+                f"epoch {epoch}: {dt:.1f}s ({n_frames / dt:.1f} frames/s; "
+                f"host wait {t_host:.1f}s = {t_host / dt:.0%})", flush=True,
+            )
         # every-3-epochs semantics per the reference (train.py:71-72):
         # save after epochs 3, 6, ... and always after the last one.
+        # (params are fully replicated, so process 0's copy is the model)
         if (epoch + 1) % cfg.train.ckpt_interval_epochs == 0 or epoch == cfg.train.epochs - 1:
-            path = save_checkpoint(cfg.train.ckpt_dir, state, epoch)
-            print(f"saved {path}")
+            if proc_id == 0:
+                path = save_checkpoint(cfg.train.ckpt_dir, state, epoch)
+                print(f"saved {path}")
     if hasattr(loader, "close"):
         loader.close()
 
