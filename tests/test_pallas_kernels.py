@@ -14,7 +14,29 @@ import pytest
 from vision3d_tpu.ops import column_sparse as csp
 from vision3d_tpu.ops import sparse as sp
 from vision3d_tpu.ops.pallas.column_conv import column_conv_pallas
-from vision3d_tpu.ops.pallas.zwin_conv import conv_zwin_apply_pallas
+from vision3d_tpu.ops.pallas.zwin_conv import (
+    conv_zwin_apply_pallas,
+    conv_zwin_apply_pallas2,
+)
+
+
+@pytest.mark.parametrize("c,cout", [(4, 16), (16, 32), (32, 32)])
+def test_zwin_conv_pallas2_matches_xla(rng, c, cout):
+    B, N, C, M = 2, 300, c, 260
+    feats = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    start = jnp.asarray(rng.integers(0, N + 1, (B, M * 9)).astype(np.int32))
+    pattern = jnp.where(
+        start == N, 0,
+        jnp.asarray(rng.integers(0, 8, (B, M * 9)).astype(np.int32)),
+    )
+    w = jnp.asarray(rng.normal(size=(27 * C, cout)), jnp.float32)
+    ref = sp.conv_zwin_apply(feats, start, pattern, w, (3, 3, 3),
+                             compute_dtype=jnp.bfloat16)
+    got = conv_zwin_apply_pallas2(feats, start, pattern, w, (3, 3, 3),
+                                  block_sites=128)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2 * scale, rtol=2e-2)
 
 
 @pytest.mark.parametrize("cout", [16, 32])

@@ -196,6 +196,12 @@ class Config:
     # competitive when z-occupancy is high).
     sparse_backend: str = "voxel"
 
+    # Z-window conv align/GEMM executor for the voxel backend's inference
+    # path: "xla" (materialized align passes), "pallas" (fused in-VMEM
+    # align, ops/pallas/zwin_conv.py), or "auto" (pallas on TPU, xla
+    # elsewhere — interpret-mode Pallas is too slow for CPU tests).
+    zwin_backend: str = "auto"
+
     # First sparse-CNN stage to run as a DENSE masked volume. The active
     # set dilates stage over stage (see stage_capacity) until late-stage
     # occupancy reaches 3-36%, where exact-masked dense conv3d on the MXU

@@ -223,6 +223,23 @@ def dense_from_columns(ct: ColumnTensor, keep_keys: bool,
                        keys=keys, mask=mask)
 
 
+def _zwin_conv(feats, rb, weight, kernel, cdt, mode):
+    """Dispatch the z-window align+GEMM to XLA or the Pallas kernel.
+
+    "auto" uses Pallas on TPU only: the fused in-VMEM align saves the
+    materialized align passes (measured ~3x the gather cost in XLA),
+    while on CPU interpret-mode Pallas is orders slower than XLA.
+    """
+    if mode == "pallas" or (mode == "auto" and jax.default_backend() == "tpu"):
+        from vision3d_tpu.ops.pallas.zwin_conv import conv_zwin_apply_pallas2
+
+        return conv_zwin_apply_pallas2(
+            feats, rb[0], rb[1], weight, kernel, compute_dtype=cdt
+        )
+    return sp.conv_zwin_apply(feats, rb[0], rb[1], weight, kernel,
+                              compute_dtype=cdt)
+
+
 def _dense_conv(x, weight, kernel, stride, pad, cdt):
     """conv3d on z-major (B, D, H, W, C) volumes with the shared
     (K*Cin, Cout) weight layout (K = (dz*ky+dy)*kx+dx row-major)."""
@@ -357,6 +374,7 @@ class SubMConv(nn.Module):
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
     dtype: str = "float32"
+    zwin: str = "xla"
 
     @nn.compact
     def __call__(self, st, train: bool, rb=None):
@@ -400,8 +418,7 @@ class SubMConv(nn.Module):
                 st.keys, st.mask, st.grid, self.kernel, (1, 1, 1), pad
             )
         if isinstance(rb, tuple):
-            out = sp.conv_zwin_apply(st.feats, rb[0], rb[1], w, self.kernel,
-                                     compute_dtype=cdt)
+            out = _zwin_conv(st.feats, rb, w, self.kernel, cdt, self.zwin)
         elif train:
             # conv-as-backward custom VJP (the default gather VJP is a
             # ~750ns/element scatter-add — seconds/layer at this scale)
@@ -423,6 +440,7 @@ class SparseConvDown(nn.Module):
     out_cap: int
     out_col_cap: int = 0  # column-backend output capacity (0: use out_cap)
     dtype: str = "float32"
+    zwin: str = "xla"
 
     @nn.compact
     def __call__(self, st, train: bool, plan=None):
@@ -512,8 +530,7 @@ class SparseConvDown(nn.Module):
             rb, ok, om = plan
         cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         if isinstance(rb, tuple):
-            of = sp.conv_zwin_apply(st.feats, rb[0], rb[1], w, self.kernel,
-                                    compute_dtype=cdt)
+            of = _zwin_conv(st.feats, rb, w, self.kernel, cdt, self.zwin)
         elif rbt is not None:
             of = sp.make_down_conv_vjp(cdt)(st.feats, rb, rbt, w)
         else:
@@ -650,9 +667,10 @@ class SpMiddleFHD(nn.Module):
                     x.keys, x.mask, (x.grid[1], x.grid[2]), (3, 3), (1, 1),
                     (1, 1),
                 )
+            zw = self.cfg.zwin_backend
             for ch in subm_channels:
-                x = SubMConv(features=ch, dtype=dt)(x, train, rb=rb)
-            x = SparseConvDown(dtype=dt, **down)(x, train, plan=plan)
+                x = SubMConv(features=ch, dtype=dt, zwin=zw)(x, train, rb=rb)
+            x = SparseConvDown(dtype=dt, zwin=zw, **down)(x, train, plan=plan)
             scales.append(x)
         bev = to_bev(scales[-1])
         if n_stages is not None:

@@ -21,6 +21,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -88,6 +89,125 @@ def zwin_conv_gemm(g_km, masks, weight, kernel, block_sites=256):
         interpret=jax.default_backend() != "tpu",  # CPU tests
     )(g_km, masks, w3)
     return out[:, :m]
+
+
+def _kernel_v2(x_ref, m_ref, e_ref, w_ref, o_ref, *, kz):
+    # zero-relayout block body: every op is either a full-width VPU
+    # multiply or an MXU matmul on the block's native (sublane, lane)
+    # layout. The (blk, P) @ (P, D) mask expansion replaces per-(dz, j)
+    # lane slices (c = 16..64 offsets are 128-misaligned and forced
+    # Mosaic relayouts in the v1 kernel — measured slower than XLA).
+    x = x_ref[0]  # (blk, D)
+    acc = None
+    for s in range(kz):
+        mf = jax.lax.dot(m_ref[s, 0], e_ref[...],
+                         preferred_element_type=x.dtype)  # (blk, D) 0/1
+        t = jax.lax.dot(x * mf, w_ref[s],
+                        preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    o_ref[0] = acc
+
+
+@partial(jax.jit, static_argnames=("kernel", "block_sites"))
+def zwin_conv_gemm_v2(x, msk, weight, kernel, block_sites=512):
+    """x (B, M, K2*kz*C) gathered candidate rows (m-major im2col, zeros at
+    misses); msk (kz, B, M, K2*kz) 0/1 shift masks in (j2, j) column
+    order; weight the shared (K*Cin, Cout) layout. -> (B, M, Cout) f32.
+
+    out = sum_s (x * expand(msk[s])) @ Wshift[s], where Wshift[s] routes
+    candidate j of each window to kernel tap dz = j + s (the z-shift is
+    folded into the weights, so alignment never moves data — only masks).
+    """
+    b, m, dd = x.shape
+    kz, ky, kx = kernel
+    k2 = ky * kx
+    c = dd // (k2 * kz)
+    cout = weight.shape[1]
+    cdt = x.dtype
+    p = k2 * kz
+
+    # shift-folded weights: Wshift[s][(j2, j, i), :] = W[j+s, j2, i, :]
+    wk = weight.reshape(kz, k2, c, cout)
+    zero = jnp.zeros((c, cout), weight.dtype)
+    wshift = jnp.stack(
+        [
+            jnp.concatenate(
+                [wk[j + s, j2] if j + s < kz else zero
+                 for j2 in range(k2) for j in range(kz)], axis=0
+            )
+            for s in range(kz)
+        ],
+        axis=0,
+    ).astype(cdt)  # (kz, D, Cout)
+
+    expand = jnp.asarray(
+        np.kron(np.eye(p, dtype=np.float32), np.ones((1, c), np.float32)),
+        cdt,
+    )  # (P, D) static 0/1
+
+    blk = block_sites
+    m_pad = -(-m // blk) * blk
+    if m_pad != m:
+        x = jnp.pad(x, ((0, 0), (0, m_pad - m), (0, 0)))
+        msk = jnp.pad(msk, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+
+    out = pl.pallas_call(
+        partial(_kernel_v2, kz=kz),
+        grid=(b, m_pad // blk),
+        in_specs=[
+            pl.BlockSpec((1, blk, dd), lambda bb, i: (bb, i, 0)),
+            pl.BlockSpec((kz, 1, blk, p), lambda bb, i: (0, bb, i, 0)),
+            pl.BlockSpec((p, dd), lambda bb, i: (0, 0)),
+            pl.BlockSpec((kz, dd, cout), lambda bb, i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, blk, cout), lambda bb, i: (bb, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, m_pad, cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",  # CPU tests
+    )(x, msk, expand, wshift)
+    return out[:, :m]
+
+
+def conv_zwin_apply_pallas2(feats, start, pattern, weight, kernel,
+                            compute_dtype=jnp.bfloat16, block_sites=512):
+    """Drop-in replacement for sp.conv_zwin_apply: XLA gather (at its
+    physical floor) + zero-relayout Pallas align/GEMM (v2).
+
+    Same contract as conv_zwin_apply (ops/sparse.py): feats (B, N, C),
+    (start, pattern) from csr_zwin_rulebook/zwin_rulebook_compact in
+    m-major (site, BEV-offset) order, shared (K*Cin, Cout) weights.
+    """
+    b, n, c = feats.shape
+    kz, ky, kx = kernel
+    k2 = ky * kx
+    q = start.shape[1]
+    m = q // k2
+    fz = jnp.concatenate(
+        [feats, jnp.zeros((b, kz, c), feats.dtype)], axis=1
+    ).astype(compute_dtype)
+    zwin = jnp.concatenate(
+        [fz[:, dz: n + 1 + dz] for dz in range(kz)], axis=-1
+    )  # (B, N+1, kz*C)
+    g = sp._take_maybe_per_sample(zwin, start)  # (B, Q, kz*C) m-major
+    x = g.reshape(b, m, k2 * kz * c)
+
+    pat = pattern.reshape(b, m, k2)
+    bits = [(pat >> dz) & 1 for dz in range(kz)]
+    jof = [sum(bits[:dz]) if dz else 0 for dz in range(kz)]
+    msks = []
+    for s in range(kz):
+        cols = []  # (j2-major, j-minor) to match x's column order
+        for j in range(kz):
+            dz = j + s
+            cols.append(
+                (bits[dz] > 0) & (jof[dz] == j) if dz < kz
+                else jnp.zeros_like(pat, dtype=bool)
+            )
+        msks.append(jnp.stack(cols, axis=-1).reshape(b, m, k2 * kz))
+    msk = jnp.stack(msks, axis=0).astype(compute_dtype)  # (kz, B, M, P)
+    return zwin_conv_gemm_v2(x, msk, weight, kernel, block_sites=block_sites)
 
 
 def conv_zwin_apply_pallas(feats, start, pattern, weight, kernel,
