@@ -105,6 +105,11 @@ def test_compact_rulebooks_match_csr(rng):
                                           outg, (3, 3, 3), st, pd)
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        s3, p3, cdrop = sp.zwin_rulebook_cached(
+            t4c, slotmap, N, grid, outk, outm, outg, (3, 3, 3), st, pd)
+        assert int(np.asarray(cdrop).sum()) == 0
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s3))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p3))
         r1 = sp.csr_rulebook(rec, N, grid, outk, outm, outg, (3, 3, 3),
                              st, pd)
         r2 = sp.rulebook_compact(t4c, slotmap, N, grid, outk, outm, outg,

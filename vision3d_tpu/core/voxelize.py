@@ -78,19 +78,23 @@ def voxelize(points, num_points, cfg: Config):
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     seg = jnp.cumsum(first) - 1                  # segment id per sorted point
     pos = jnp.arange(P)
-    # first sorted-position of each segment via scatter-min (equivalent to
-    # a running-max associative_scan over first-flagged positions, cheaper
-    # and without the scan op in the graph)
-    seg_start_per_seg = jnp.full((P,), P, jnp.int32).at[seg].min(
-        jnp.where(first, pos, P).astype(jnp.int32)
+    # Per-segment reductions all become plain SET-scatters from the
+    # segment's first sorted row (unique addresses): the stable sort keeps
+    # original point order within a segment, so the first sorted row
+    # carries both the segment's min position and its min original index.
+    # The previous scatter-min formulation is a read-modify-write scatter,
+    # the slow scatter class on v5e.
+    fseg = jnp.where(first, seg, P)
+    seg_start_per_seg = jnp.full((P,), P, jnp.int32).at[fseg].set(
+        pos.astype(jnp.int32), mode="drop"
     )
     slot = pos - seg_start_per_seg[seg]          # first-come slot within voxel
 
     # spconv's voxel id = rank of the segment's first point in scan order.
     big = jnp.iinfo(jnp.int32).max
-    seg_first_pt = jnp.full((P,), big, jnp.int32).at[seg].min(
-        jnp.where(skey < sentinel, order, big).astype(jnp.int32)
-    )
+    seg_first_pt = jnp.full((P,), big, jnp.int32).at[
+        jnp.where(first & (skey < sentinel), seg, P)
+    ].set(order.astype(jnp.int32), mode="drop")
     # rank-by-first-point without a sort: first points are distinct
     # positions < P, so a presence scatter + exclusive cumsum ranks them
     # (invalid segments land past the P slot and are filtered by the
@@ -110,9 +114,17 @@ def voxelize(points, num_points, cfg: Config):
     features = jnp.zeros((N, K, C), points.dtype).at[vidx, kidx].set(
         points[order], mode="drop"
     )
-    occupancy = jnp.zeros((N,), jnp.int32).at[vidx].add(
-        valid.astype(jnp.int32), mode="drop"
-    )
+    # occupancy via segment-size differences (set-scatter from first rows)
+    # instead of a scatter-ADD (the serialized read-modify-write class)
+    starts_arr = jnp.full((P + 1,), P, jnp.int32).at[
+        jnp.where(first, seg, P + 1)  # P is a real slot of this array
+    ].set(pos.astype(jnp.int32), mode="drop")
+    seg_ids = jnp.arange(P)
+    seg_size = starts_arr[jnp.minimum(seg_ids + 1, P)] - starts_arr[seg_ids]
+    occ_rows = first & (skey < sentinel) & (vox < N)
+    occupancy = jnp.zeros((N,), jnp.int32).at[
+        jnp.where(occ_rows, vox, N)
+    ].set(jnp.minimum(seg_size[seg], K).astype(jnp.int32), mode="drop")
     skey_c = jnp.where(skey < sentinel, skey, 0)
     cz = skey_c % nz
     cy = skey_c // (nx * nz)

@@ -653,6 +653,11 @@ class SpMiddleFHD(nn.Module):
                         x.keys, x.mask, x.grid, down["kernel"],
                         down["stride"], down["pad"], down["out_cap"],
                         subm_kernel=(3, 3, 3) if subm_channels else None,
+                        # tight per-COLUMN rulebook-cache capacities: the
+                        # cache build scales with columns, not sites
+                        # (overflow counts into the stageN_dropped sow)
+                        subm_col_cap=self.cfg.stage_column_capacity(si),
+                        down_col_cap=self.cfg.stage_column_capacity(si + 1),
                     )
                     plan = (rbd, ok, om)
                 # capacity-overflow detector: non-zero means the static

@@ -100,9 +100,11 @@ def _kernel_v2(x_ref, m_ref, e_ref, w_ref, o_ref, *, kz):
     x = x_ref[0]  # (blk, D)
     acc = None
     for s in range(kz):
+        # Mosaic requires 32-bit matmul accumulators; the 0/1 mask values
+        # are exact in bf16 after the downcast
         mf = jax.lax.dot(m_ref[s, 0], e_ref[...],
-                         preferred_element_type=x.dtype)  # (blk, D) 0/1
-        t = jax.lax.dot(x * mf, w_ref[s],
+                         preferred_element_type=jnp.float32)  # (blk, D)
+        t = jax.lax.dot(x * mf.astype(x.dtype), w_ref[s],
                         preferred_element_type=jnp.float32)
         acc = t if acc is None else acc + t
     o_ref[0] = acc

@@ -579,26 +579,36 @@ def build_col_compact(keys, mask, grid, ncol_cap):
         rows.reshape(-1), mode="drop").reshape(b, nc + 1)
 
     # per-word z-bit sums over each column's [first, last] row segment;
-    # within a column z is ascending and distinct, so sum == OR
-    words = []
+    # within a column z is ascending and distinct, so sum == OR. The six
+    # cumsum reads (inclusive at last, exclusive at first) are packed into
+    # (B, N, 6) rows and fetched with TWO row gathers — nine separate
+    # take_along_axis element gathers ran at the ~6ns/element scalar rate
+    # and made this builder cost 41ms at stage 1 (round 3).
+    cs, cpre = [], []
     for k in range(3):
         bits = jnp.where(mask & (z // 16 == k), jnp.int32(1) << (z % 16), 0)
-        c = jnp.cumsum(bits, axis=1)
-        seg = (
-            jnp.take_along_axis(c, last, axis=1)
-            - jnp.take_along_axis(c, first, axis=1)
-            + jnp.take_along_axis(bits, first, axis=1)
-        )
-        words.append(seg)
+        c = jnp.cumsum(bits, axis=1)  # int32 wraparound-safe under substraction
+        cs.append(c)
+        cpre.append(c - bits)
+    packed = jnp.stack(cs + cpre, axis=-1)  # (B, N, 6)
+    at_last = _take_maybe_per_sample(packed, last)
+    at_first = _take_maybe_per_sample(packed, first)
+    words = [at_last[..., k] - at_first[..., 3 + k] for k in range(3)]
 
     t4c = jnp.stack(words + [first], axis=-1)  # (B, NC+1, 4)
     t4c = t4c.at[:, nc].set(0)  # miss row: empty pattern
 
-    map_addr = jnp.where(f & slot_ok, bidx * (hw + 1) + cell,
-                         b * (hw + 1)).reshape(-1)
-    slotmap = jnp.full((b * (hw + 1) + 1,), -1, slot_dtype).at[map_addr].set(
+    # per-sample (B, HW+2) layout: cell hw is the always-empty query
+    # sentinel, hw+1 the scatter sink for masked-off rows. Per-sample
+    # slices keep each sample's map under the VMEM-promotion budget —
+    # ONE flat (B*(HW+1),) map at stage 0 is 36MB and its element gathers
+    # ran at the slow flat-path rate, which made plan_stage the most
+    # expensive op in the whole network (122ms at stage 0, round 3).
+    map_addr = jnp.where(f & slot_ok, bidx * (hw + 2) + cell,
+                         bidx * (hw + 2) + hw + 1).reshape(-1)
+    slotmap = jnp.full((b * (hw + 2),), -1, slot_dtype).at[map_addr].set(
         jnp.minimum(colslot, nc).astype(slot_dtype).reshape(-1), mode="drop"
-    )
+    ).reshape(b, hw + 2)
     ncol_dropped = jnp.maximum(ncol - nc, 0)
     return t4c, slotmap, colslot, ncol_dropped
 
@@ -631,9 +641,11 @@ def _compact_nbr_records(t4c, slotmap, in_grid, out_keys, out_mask,
         & jnp.broadcast_to(out_mask[:, :, None], (b, m, k2)).reshape(b, q)
     )
     cell = jnp.where(okbev, ny * w + nx, hw)
-    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
-    slot = jnp.take(slotmap, (bidx * (hw + 1) + cell).reshape(-1)
-                    ).reshape(b, q).astype(jnp.int32)
+    # per-sample element gathers: each (HW+2,) slice fits the VMEM
+    # promotion budget (one flat 36MB map gathered at the slow flat rate)
+    slot = jnp.stack(
+        [jnp.take(slotmap[i], cell[i]) for i in range(b)], axis=0
+    ).astype(jnp.int32)
     nc = t4c.shape[1] - 1
     idx = jnp.where((slot >= 0) & (slot < nc) & okbev, slot, nc)
     g = _take_maybe_per_sample(t4c, idx)  # (B, Q, 4) from a VMEM table
@@ -679,6 +691,117 @@ def zwin_rulebook_compact(t4c, slotmap, n_in, in_grid, out_keys, out_mask,
     pattern = sum(bit_at(z0 + dz) << dz for dz in range(kz))
     start = jnp.where((pattern > 0) & okbev, colstart + rank, n_in)
     pattern = jnp.where(okbev, pattern, 0)
+    return start.astype(jnp.int32), pattern.astype(jnp.int32)
+
+
+def zwin_rulebook_cached(t4c, slotmap, n_in, in_grid, out_keys, out_mask,
+                         out_grid, kernel, stride=(1, 1, 1), pad=(0, 0, 0),
+                         col_cap=None):
+    """zwin_rulebook_compact contract, but with the per-(site, offset)
+    record lookups hoisted to a per-COLUMN neighbor-record cache.
+
+    Indexed-op economics on v5e (the plan cost is almost entirely indexed
+    ops at the ~2-13ns/op gather rates): the compact rulebook does 2
+    lookups per (site, BEV offset) — 9*M slot gathers + 9*M record-row
+    gathers. But all sites of one output BEV column share the same 9
+    neighbor columns, and KITTI columns average ~2 sites at the dilated
+    stages — so this builds the 9 neighbor records once per COLUMN
+    (9*NCol slot+record gathers into a (B, NCol, 36) cache) and fetches
+    ONE cached row per site. Total indexed ops drop ~3-4x; the remaining
+    per-site z-window math is identical (shared _zwin_from_records).
+
+    Returns (start, pattern, ncol_dropped) — ncol_dropped counts active
+    output columns beyond ``col_cap`` (their sites produce empty windows,
+    i.e. silent truncation — callers must surface it as a diagnostic).
+    col_cap=None sizes the cache at M (exact, zero drop).
+    """
+    b, m = out_keys.shape
+    d, h, w = in_grid
+    hw = h * w
+    kz, ky, kx = kernel
+    k2 = ky * kx
+    assert kz <= 3 and k2 == 9
+    od, oh, ow = out_grid
+    nc = col_cap or m
+
+    # output column structure from the sorted site keys (vector math only)
+    ok = jnp.where(out_mask, out_keys, 0)
+    cell_out = jnp.where(out_mask, ok // od, oh * ow)
+    f = jnp.concatenate(
+        [jnp.ones((b, 1), bool), cell_out[:, 1:] != cell_out[:, :-1]], axis=1
+    ) & out_mask
+    colslot = jnp.cumsum(f.astype(jnp.int32), axis=1) - 1  # (B, M) per site
+    ncol_dropped = jnp.maximum(f.sum(axis=1, dtype=jnp.int32) - nc, 0)
+
+    # compact per-column BEV coords: scatter first-site cells to slots
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    size = b * (nc + 1)
+    addr_f = jnp.where(f & (colslot < nc), bidx * (nc + 1) + colslot, size)
+    col_cell = jnp.full((size,), oh * ow, jnp.int32).at[
+        addr_f.reshape(-1)
+    ].set(cell_out.reshape(-1), mode="drop").reshape(b, nc + 1)
+    coly = col_cell // ow
+    colx = col_cell % ow
+
+    # per-(column, offset) neighbor cell -> slot -> record, cached
+    offs = np.stack(
+        np.meshgrid(np.arange(ky), np.arange(kx), indexing="ij"), -1
+    ).reshape(-1, 2)
+    ny = (coly[:, :, None] * stride[1] - pad[1] + jnp.asarray(offs)[:, 0])
+    nx = (colx[:, :, None] * stride[2] - pad[2] + jnp.asarray(offs)[:, 1])
+    okq = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w) & (col_cell < oh * ow)[:, :, None]
+    cellq = jnp.where(okq, ny * w + nx, hw).reshape(b, (nc + 1) * k2)
+    slot = jnp.stack(
+        [jnp.take(slotmap[i], cellq[i]) for i in range(b)], axis=0
+    ).astype(jnp.int32)
+    ncin = t4c.shape[1] - 1
+    ridx = jnp.where((slot >= 0) & (slot < ncin), slot, ncin)
+    recs = _take_maybe_per_sample(t4c, ridx)  # (B, (NC+1)*K2, 4)
+    cache = recs.reshape(b, nc + 1, k2 * 4)   # offset-major, comp-minor
+
+    # one cached-row fetch per site (overflow/padded sites -> zero row nc)
+    crow_idx = jnp.where(out_mask & (colslot < nc), colslot, nc)
+    zero_tail = jnp.zeros((b, 1, k2 * 4), cache.dtype)
+    cache = jnp.concatenate([cache[:, :nc], zero_tail], axis=1)
+    crow = _take_maybe_per_sample(cache, crow_idx)  # (B, M, K2*4)
+
+    # flat (B, M*K2) component planes for the shared z-window math
+    comp = crow.reshape(b, m, k2, 4)
+    w0 = comp[..., 0].reshape(b, m * k2)
+    w1 = comp[..., 1].reshape(b, m * k2)
+    w2 = comp[..., 2].reshape(b, m * k2)
+    colstart = comp[..., 3].reshape(b, m * k2)
+    oz = jnp.where(out_mask, ok % od, 0)
+    z0 = jnp.broadcast_to(
+        (oz * stride[0] - pad[0])[:, :, None], (b, m, k2)
+    ).reshape(b, m * k2)
+    start, pattern = _zwin_from_records(w0, w1, w2, colstart, z0, d, kz,
+                                        n_in)
+    return start, pattern, ncol_dropped
+
+
+def _zwin_from_records(w0, w1, w2, colstart, z0, d, kz, n_in):
+    """Shared z-window math: records + window base z -> (start, pattern).
+    Empty/missing records (all-zero words) produce pattern 0, start n_in."""
+
+    def below_mask(t):
+        tc = jnp.clip(t, 0, 16)
+        return jnp.where(tc >= 16, 0xFFFF, (jnp.int32(1) << tc) - 1)
+
+    def bit_at(zq):
+        word = jnp.where(zq < 16, w0, jnp.where(zq < 32, w1, w2))
+        inz = (zq >= 0) & (zq < d)
+        return jnp.where(inz, (word >> jnp.clip(zq % 16, 0, 15)) & 1, 0)
+
+    pc = jax.lax.population_count
+    z0c = jnp.maximum(z0, 0)
+    rank = (
+        pc(w0 & below_mask(z0c))
+        + pc(w1 & below_mask(z0c - 16))
+        + pc(w2 & below_mask(z0c - 32))
+    )
+    pattern = sum(bit_at(z0 + dz) << dz for dz in range(kz))
+    start = jnp.where(pattern > 0, colstart + rank, n_in)
     return start.astype(jnp.int32), pattern.astype(jnp.int32)
 
 
@@ -957,7 +1080,8 @@ def zcol_rulebook(ztab, n, grid, out_keys, out_mask, out_grid, kernel,
 
 
 def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
-                       out_cap, subm_kernel=None):
+                       out_cap, subm_kernel=None, subm_col_cap=None,
+                       down_col_cap=None):
     """Per-stage rulebook plan: down-conv active set plus BOTH the
     submanifold rulebook and the down-conv rulebook.
 
@@ -988,12 +1112,17 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
         pad_s = tuple(s // 2 for s in subm_kernel) if subm_kernel else None
         rbs = None
         if subm_kernel is not None:
-            rbs = zwin_rulebook_compact(t4c, slotmap, n, grid, keys, mask,
-                                        grid, subm_kernel, (1, 1, 1), pad_s)
-        rbd = zwin_rulebook_compact(t4c, slotmap, n, grid, out_keys,
-                                    out_mask, out_grid, down_kernel,
-                                    down_stride, down_pad)
-        return rbs, rbd, out_keys, out_mask, n_dropped
+            s_, p_, cdrop_s = zwin_rulebook_cached(
+                t4c, slotmap, n, grid, keys, mask, grid, subm_kernel,
+                (1, 1, 1), pad_s, col_cap=subm_col_cap,
+            )
+            rbs = (s_, p_)
+            n_dropped = n_dropped + cdrop_s
+        sd_, pd_, cdrop_d = zwin_rulebook_cached(
+            t4c, slotmap, n, grid, out_keys, out_mask, out_grid,
+            down_kernel, down_stride, down_pad, col_cap=down_col_cap,
+        )
+        return rbs, (sd_, pd_), out_keys, out_mask, n_dropped + cdrop_d
 
     ztab = build_zcol_table(keys, mask, grid)
     if ztab is not None:
