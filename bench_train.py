@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--dense-from", type=int, default=4,
+                    help="dense_from_stage for the TRAIN graph. Default 4 "
+                         "(fully sparse): the dense stages' conv3d backward "
+                         "materializes ~10 spatially-partitioned f32 temps "
+                         "(~19GB > 16GB HBM at full geometry, measured r3); "
+                         "the sparse conv-as-backward VJPs are memory-lean.")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +48,8 @@ def main():
 
     cfg = Config()
     cfg = cfg.replace(
-        num_classes=1, anchors=cfg.anchors[:1], compute_dtype=args.dtype
+        num_classes=1, anchors=cfg.anchors[:1], compute_dtype=args.dtype,
+        dense_from_stage=args.dense_from,
     )
     if args.quick:
         cfg = cfg.replace(

@@ -17,7 +17,27 @@ from vision3d_tpu.ops.pallas.column_conv import column_conv_pallas
 from vision3d_tpu.ops.pallas.zwin_conv import (
     conv_zwin_apply_pallas,
     conv_zwin_apply_pallas2,
+    conv_zwin_apply_pallas3,
 )
+
+
+@pytest.mark.parametrize("c,cout", [(4, 16), (32, 32), (64, 64)])
+def test_zwin_conv_pallas3_matches_xla(rng, c, cout):
+    B, N, C, M = 2, 300, c, 260
+    feats = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    start = jnp.asarray(rng.integers(0, N + 1, (B, M * 9)).astype(np.int32))
+    pattern = jnp.where(
+        start == N, 0,
+        jnp.asarray(rng.integers(0, 8, (B, M * 9)).astype(np.int32)),
+    )
+    w = jnp.asarray(rng.normal(size=(27 * C, cout)), jnp.float32)
+    ref = sp.conv_zwin_apply(feats, start, pattern, w, (3, 3, 3),
+                             compute_dtype=jnp.bfloat16)
+    got = conv_zwin_apply_pallas3(feats, start, pattern, w, (3, 3, 3),
+                                  block_sites=128)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2 * scale, rtol=2e-2)
 
 
 @pytest.mark.parametrize("c,cout", [(4, 16), (16, 32), (32, 32)])
@@ -92,7 +112,7 @@ def test_compact_rulebooks_match_csr(rng):
     og = sp.out_grid_shape(grid, (3, 3, 3), (2, 2, 2), (1, 1, 1))
 
     rec = sp.build_csr(keys, mask, grid)
-    t4c, slotmap, _, ncdrop = sp.build_col_compact(keys, mask, grid, 400)
+    t4c, slotmap, _, ncdrop, col_cell = sp.build_col_compact(keys, mask, grid, 400)
     assert int(np.asarray(ncdrop).sum()) == 0
 
     for outk, outm, outg, st, pd in [
@@ -110,8 +130,44 @@ def test_compact_rulebooks_match_csr(rng):
         assert int(np.asarray(cdrop).sum()) == 0
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s3))
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p3))
+        if st != (1, 1, 1):
+            s4, p4, cdrop4 = sp.zwin_rulebook_down_scatter(
+                t4c, col_cell, N, grid, outk, outm, outg, (3, 3, 3), st,
+                pd)
+            assert int(np.asarray(cdrop4).sum()) == 0
+            np.testing.assert_array_equal(np.asarray(s1), np.asarray(s4))
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(p4))
         r1 = sp.csr_rulebook(rec, N, grid, outk, outm, outg, (3, 3, 3),
                              st, pd)
         r2 = sp.rulebook_compact(t4c, slotmap, N, grid, outk, outm, outg,
                                  (3, 3, 3), st, pd)
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_dense_from_sparse_cols_matches_direct(rng):
+    """Column-route densify == direct per-cell densify on random sets."""
+    from vision3d_tpu.models import sparse_cnn as scnn
+
+    B, N, C = 3, 400, 16
+    grid = (12, 40, 36)
+    d, h, w = grid
+    keys, mask, feats = [], [], []
+    for _ in range(B):
+        nact = int(rng.integers(250, 380))
+        k = np.sort(rng.choice(d * h * w, nact, replace=False)).astype(np.int32)
+        k = np.concatenate([k, np.full(N - nact, d * h * w, np.int32)])
+        keys.append(k)
+        mask.append(np.arange(N) < nact)
+        feats.append(rng.normal(size=(N, C)).astype(np.float32))
+    st = scnn.SparseTensor(
+        feats=jnp.asarray(np.stack(feats)) * jnp.asarray(np.stack(mask))[..., None],
+        keys=jnp.asarray(np.stack(keys)),
+        mask=jnp.asarray(np.stack(mask)),
+        grid=grid,
+    )
+    ref = scnn.dense_from_sparse(st, keep_keys=True)
+    got, cdrop = scnn.dense_from_sparse_cols(st, keep_keys=True, ncol_cap=380)
+    assert int(np.asarray(cdrop).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(ref.occ), np.asarray(got.occ))
+    np.testing.assert_allclose(np.asarray(ref.feats), np.asarray(got.feats),
+                               atol=1e-6)

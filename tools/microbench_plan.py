@@ -67,7 +67,7 @@ def main():
                lambda k, m, grid=grid, n=n: sp.build_col_compact(
                    k, m, grid, n),
                (keys, mask))
-        t4c, slotmap, _, _ = jax.jit(
+        t4c, slotmap, _, _, col_cell = jax.jit(
             lambda k, m, grid=grid, n=n: sp.build_col_compact(k, m, grid, n)
         )(keys, mask)
 

@@ -35,6 +35,7 @@ def main():
     from vision3d_tpu.ops.pallas.zwin_conv import (
         conv_zwin_apply_pallas,
         conv_zwin_apply_pallas2,
+        conv_zwin_apply_pallas3,
     )
 
     rng = np.random.default_rng(0)
@@ -86,6 +87,14 @@ def main():
                 (feats, start, pattern, w), iters=args.iters,
             )
             print(f"{name:22s} pallas-v2/{blk:<5d} {dt*1e3:6.2f} ms",
+                  flush=True)
+            dt = timeit_scanned(
+                lambda f, s, p, ww, blk=blk: conv_zwin_apply_pallas3(
+                    f, s, p, ww, (3, 3, 3), block_sites=blk
+                ),
+                (feats, start, pattern, w), iters=args.iters,
+            )
+            print(f"{name:22s} pallas-v3/{blk:<5d} {dt*1e3:6.2f} ms",
                   flush=True)
 
 

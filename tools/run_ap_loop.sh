@@ -10,10 +10,15 @@ DATA=data/synth_kitti
 EPOCHS=${EPOCHS:-24}
 CKPT=./ckpts_synth
 
+# batch 4 (the reference's own car.yaml batch); --dense-from 4 trains the
+# fully sparse graph (the dense stages' conv3d backward OOMs 16GB HBM at
+# full geometry; parameters are representation-independent so eval runs
+# at the default dense cutover)
 python -m vision3d_tpu.train_cli --config configs/second/car.yaml \
   --data-root $DATA/training/ --split-dir $DATA/splitfiles/ \
-  --cache-dir $DATA/cache/ --ckpt-dir $CKPT --batch-size 8 \
-  --epochs $EPOCHS --workers 6 --metrics-jsonl ./metrics_synth.jsonl
+  --cache-dir $DATA/cache/ --ckpt-dir $CKPT --batch-size 4 \
+  --epochs $EPOCHS --workers 6 --dense-from 4 \
+  --metrics-jsonl ./metrics_synth.jsonl
 
 LAST=$(ls -d $CKPT/epoch_* | sed 's/.*epoch_//' | sort -n | tail -1)
 python -m vision3d_tpu.eval_cli --config configs/second/car.yaml \

@@ -110,6 +110,74 @@ class DenseTensor:
                             grid=self.grid)
 
 
+def dense_from_sparse_cols(st: SparseTensor, keep_keys: bool,
+                           ncol_cap: int) -> DenseTensor:
+    """Densify through compact column slabs (two-hop gather).
+
+    The direct per-CELL row gather (dense_from_sparse) touches D*HW rows
+    of C lanes — 12.4M 2KB-tile fetches at the stage-2 cutover (~35ms
+    floor). Routing through columns cuts the row count: NCol*D gathers of
+    C-wide site rows build a (B, NCol, D*C) slab (KITTI: NCol ~ 0.25*HW
+    sites' columns), then each BEV cell fetches ONE (D*C)-wide slab row.
+    HW + NCol*D rows instead of HW*D.
+
+    Returns (DenseTensor, ncol_dropped) — columns beyond ``ncol_cap`` are
+    dropped and MUST be surfaced as a capacity diagnostic by the caller.
+    """
+    d, h, w = st.grid
+    b, n, c = st.feats.shape
+    hw = h * w
+    t4c, slotmap, _, ncol_dropped, _ = sp.build_col_compact(
+        st.keys, st.mask, st.grid, ncol_cap
+    )
+    # per (column, z): source row = colstart + rank(z), miss -> n
+    w0 = t4c[..., 0][:, :, None]
+    w1 = t4c[..., 1][:, :, None]
+    w2 = t4c[..., 2][:, :, None]
+    colstart = t4c[..., 3][:, :, None]
+    pc = jax.lax.population_count
+    zs = jnp.arange(d, dtype=jnp.int32)[None, None, :]
+
+    def below(t):
+        tc = jnp.clip(t, 0, 16)
+        return jnp.where(tc >= 16, 0xFFFF, (jnp.int32(1) << tc) - 1)
+
+    rank = pc(w0 & below(zs)) + pc(w1 & below(zs - 16)) + pc(w2 & below(zs - 32))
+    word = jnp.where(zs < 16, w0, jnp.where(zs < 32, w1, w2))
+    present = ((word >> jnp.clip(zs % 16, 0, 15)) & 1) > 0  # (B, NC+1, D)
+    srow = jnp.where(present, colstart + rank, n)
+
+    fz = jnp.concatenate(
+        [st.feats, jnp.zeros((b, 1, c), st.feats.dtype)], axis=1
+    )
+    nc = ncol_cap
+    slab = sp._take_maybe_per_sample(
+        fz, srow.reshape(b, (nc + 1) * d)
+    ).reshape(b, nc + 1, d * c)  # (B, NC+1, D*C), zero rows at misses
+
+    # per BEV cell: its column slot (slotmap) -> one slab row
+    cells = jnp.broadcast_to(
+        jnp.arange(hw, dtype=jnp.int32)[None], (b, hw)
+    )
+    slot = jnp.stack(
+        [jnp.take(slotmap[i], cells[i]) for i in range(b)], axis=0
+    ).astype(jnp.int32)
+    cidx = jnp.where((slot >= 0) & (slot < nc), slot, nc)
+    slab = slab.at[:, nc].set(0.0)  # miss row
+    df = sp._take_maybe_per_sample(slab, cidx)       # (B, HW, D*C)
+    feats = jnp.transpose(df.reshape(b, h, w, d, c), (0, 3, 1, 2, 4))
+    occ_hw = sp._take_maybe_per_sample(
+        jnp.concatenate([present[:, :nc], jnp.zeros((b, 1, d), bool)],
+                        axis=1),
+        cidx,
+    )  # (B, HW, D)
+    occ = jnp.transpose(occ_hw.reshape(b, h, w, d), (0, 3, 1, 2))
+    dt = DenseTensor(feats=feats, occ=occ, grid=st.grid,
+                     keys=st.keys if keep_keys else None,
+                     mask=st.mask if keep_keys else None)
+    return dt, ncol_dropped
+
+
 def dense_from_sparse(st: SparseTensor, keep_keys: bool) -> DenseTensor:
     """Densify a sparse tensor by GATHER, not scatter.
 
@@ -622,7 +690,16 @@ class SpMiddleFHD(nn.Module):
             if si >= self.cfg.dense_from_stage:
                 # late stages run as dense masked volumes (see DenseTensor)
                 if isinstance(x, SparseTensor):
-                    x = dense_from_sparse(x, keep_keys=need_scales)
+                    if train:
+                        # custom-VJP direct densify (backward = one gather)
+                        x = dense_from_sparse(x, keep_keys=need_scales)
+                    else:
+                        x, cdrop = dense_from_sparse_cols(
+                            x, keep_keys=need_scales,
+                            ncol_cap=self.cfg.stage_column_capacity(si),
+                        )
+                        self.sow("diagnostics", f"stage{si}_densify_dropped",
+                                 cdrop.sum(), reduce_fn=lambda a, b: b)
                 elif isinstance(x, ColumnTensor):
                     x = dense_from_columns(
                         x, keep_keys=need_scales,

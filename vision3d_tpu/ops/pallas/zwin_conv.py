@@ -212,6 +212,131 @@ def conv_zwin_apply_pallas2(feats, start, pattern, weight, kernel,
     return zwin_conv_gemm_v2(x, msk, weight, kernel, block_sites=block_sites)
 
 
+def _kernel_v3(x_ref, m_ref, e_ref, w_ref, o_ref, *, kz, k2, kzc, cp):
+    # v2 math on the gather-native k2-major layout: per-offset blocks are
+    # LEADING-dim slices (free), each zero-padded to a 128-lane boundary
+    # so the concat and every mask/GEMM stays tile-aligned. Avoids the
+    # XLA-side (B, Q, kzc) -> (B, M, K2*kzc) physical relayout v2 pays.
+    xcat = jnp.concatenate(
+        [
+            jnp.pad(x_ref[0, j2], ((0, 0), (0, cp - kzc)))
+            for j2 in range(k2)
+        ],
+        axis=1,
+    )  # (blk, k2*cp)
+    acc = None
+    for s in range(kz):
+        mf = jax.lax.dot(m_ref[s, 0], e_ref[...],
+                         preferred_element_type=jnp.float32)
+        t = jax.lax.dot(xcat * mf.astype(xcat.dtype), w_ref[s],
+                        preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    o_ref[0] = acc
+
+
+@partial(jax.jit, static_argnames=("kernel", "block_sites"))
+def zwin_conv_gemm_v3(g_km, msk, weight, kernel, block_sites=512):
+    """g_km (B, K2, M, kz*C) gathered windows in gather-native k2-major
+    layout (a free view of the (B, K2*M, kz*C) gather output); msk
+    (kz, B, M, K2*kz) shift masks as in v2. -> (B, M, Cout) f32."""
+    b, k2, m, kzc = g_km.shape
+    kz = kernel[0]
+    c = kzc // kz
+    cout = weight.shape[1]
+    cdt = g_km.dtype
+    p = k2 * kz
+    cp = -(-kzc // 128) * 128  # per-offset lane block, 128-aligned
+
+    wk = weight.reshape(kz, k2, c, cout)
+    pad_rows = jnp.zeros((cp - kzc, cout), weight.dtype)
+    wshift = jnp.stack(
+        [
+            jnp.concatenate(
+                [
+                    jnp.concatenate(
+                        [wk[j + s, j2] if j + s < kz
+                         else jnp.zeros((c, cout), weight.dtype)
+                         for j in range(kz)] + [pad_rows],
+                        axis=0,
+                    )
+                    for j2 in range(k2)
+                ],
+                axis=0,
+            )
+            for s in range(kz)
+        ],
+        axis=0,
+    ).astype(cdt)  # (kz, k2*cp, Cout)
+
+    exp_np = np.zeros((p, k2 * cp), np.float32)
+    for j2 in range(k2):
+        for j in range(kz):
+            exp_np[j2 * kz + j, j2 * cp + j * c: j2 * cp + (j + 1) * c] = 1.0
+    expand = jnp.asarray(exp_np, cdt)
+
+    blk = block_sites
+    m_pad = -(-m // blk) * blk
+    if m_pad != m:
+        g_km = jnp.pad(g_km, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+        msk = jnp.pad(msk, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)))
+
+    out = pl.pallas_call(
+        partial(_kernel_v3, kz=kz, k2=k2, kzc=kzc, cp=cp),
+        grid=(b, m_pad // blk),
+        in_specs=[
+            pl.BlockSpec((1, k2, blk, kzc), lambda bb, i: (bb, 0, i, 0)),
+            pl.BlockSpec((kz, 1, blk, p), lambda bb, i: (0, bb, i, 0)),
+            pl.BlockSpec((p, k2 * cp), lambda bb, i: (0, 0)),
+            pl.BlockSpec((kz, k2 * cp, cout), lambda bb, i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, blk, cout), lambda bb, i: (bb, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, m_pad, cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(g_km, msk, expand, wshift)
+    return out[:, :m]
+
+
+def conv_zwin_apply_pallas3(feats, start, pattern, weight, kernel,
+                            compute_dtype=jnp.bfloat16, block_sites=512):
+    """v3: XLA gather in k2-major order (its natural output shape is the
+    kernel's input — no relayout), Pallas align/GEMM with in-kernel
+    128-aligned offset blocks."""
+    b, n, c = feats.shape
+    kz, ky, kx = kernel
+    k2 = ky * kx
+    q = start.shape[1]
+    m = q // k2
+    fz = jnp.concatenate(
+        [feats, jnp.zeros((b, kz, c), feats.dtype)], axis=1
+    ).astype(compute_dtype)
+    zwin = jnp.concatenate(
+        [fz[:, dz: n + 1 + dz] for dz in range(kz)], axis=-1
+    )
+    start_km = jnp.transpose(start.reshape(b, m, k2), (0, 2, 1))
+    g = sp._take_maybe_per_sample(zwin, start_km.reshape(b, k2 * m))
+    g_km = g.reshape(b, k2, m, kz * c)  # free view (leading-dim split)
+
+    pat = pattern.reshape(b, m, k2)
+    bits = [(pat >> dz) & 1 for dz in range(kz)]
+    jof = [sum(bits[:dz]) if dz else 0 for dz in range(kz)]
+    msks = []
+    for s in range(kz):
+        cols = []
+        for j in range(kz):
+            dz = j + s
+            cols.append(
+                (bits[dz] > 0) & (jof[dz] == j) if dz < kz
+                else jnp.zeros_like(pat, dtype=bool)
+            )
+        msks.append(jnp.stack(cols, axis=-1).reshape(b, m, k2 * kz))
+    msk = jnp.stack(msks, axis=0).astype(compute_dtype)
+    return zwin_conv_gemm_v3(g_km, msk, weight, kernel,
+                             block_sites=block_sites)
+
+
 def conv_zwin_apply_pallas(feats, start, pattern, weight, kernel,
                            compute_dtype=jnp.bfloat16):
     """Drop-in replacement for sp.conv_zwin_apply on TPU: XLA gather (at

@@ -542,8 +542,9 @@ def build_col_compact(keys, mask, grid, ncol_cap):
     compactions over (B, N) and one slot-map scatter.
 
     Returns (t4c (B, NC+1, 4) int32 with a zero miss row at NC,
-    slotmap ((B*(HW+1)+1,) int16, -1 = empty cell), colslot (B, N) int32,
-    ncol_dropped (B,) int32). Requires d <= 48 and ncol_cap <= 32000.
+    slotmap ((B, HW+2) int16/int32, -1 = empty cell), colslot (B, N)
+    int32, ncol_dropped (B,) int32, col_cell (B, NC+1) compact BEV cell
+    per slot). Requires d <= 48 and ncol_cap <= 32000 for int16 slots.
     """
     b, n = keys.shape
     d, h, w = grid
@@ -610,7 +611,119 @@ def build_col_compact(keys, mask, grid, ncol_cap):
         jnp.minimum(colslot, nc).astype(slot_dtype).reshape(-1), mode="drop"
     ).reshape(b, hw + 2)
     ncol_dropped = jnp.maximum(ncol - nc, 0)
-    return t4c, slotmap, colslot, ncol_dropped
+    return t4c, slotmap, colslot, ncol_dropped, col_cell
+
+
+def zwin_rulebook_down_scatter(t4c, col_cell, n_in, in_grid, out_keys,
+                               out_mask, out_grid, kernel, stride, pad,
+                               col_cap=None):
+    """Strided-conv z-window rulebook with a SCATTER-built column cache.
+
+    zwin_rulebook_cached still pays one slot lookup + one record gather
+    per CACHE SLOT (NCol_out * K2). For a strided conv the (in column ->
+    out column, BEV offset) adjacency is enumerable from the IN side with
+    exact divisibility — only cnt_y*cnt_x (<= 4 for k3s2) candidates per
+    input column — so the neighbor-slot cache is built by scattering each
+    in-column's slot at (out_slot, offset): candidate-count lookups into
+    a small OUT-resolution slot map instead of cache-size lookups into
+    the IN-resolution map. Record gathers and the per-site math are
+    shared with the cached variant.
+
+    Returns (start, pattern, ncol_dropped).
+    """
+    b, m = out_keys.shape
+    d, h, w = in_grid
+    hw = h * w
+    kz, ky, kx = kernel
+    k2 = ky * kx
+    assert kz <= 3
+    od, oh, ow = out_grid
+    ohw = oh * ow
+    nc = col_cap or m
+    ncin = t4c.shape[1] - 1
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+
+    # out column structure (vector math over sorted out site keys)
+    ok = jnp.where(out_mask, out_keys, 0)
+    cell_out = jnp.where(out_mask, ok // od, ohw)
+    f = jnp.concatenate(
+        [jnp.ones((b, 1), bool), cell_out[:, 1:] != cell_out[:, :-1]], axis=1
+    ) & out_mask
+    colslot = jnp.cumsum(f.astype(jnp.int32), axis=1) - 1
+    ncol_dropped = jnp.maximum(f.sum(axis=1, dtype=jnp.int32) - nc, 0)
+
+    # OUT-resolution slot map (small: OHW <= HW/4)
+    omap_addr = jnp.where(f & (colslot < nc),
+                          bidx * (ohw + 2) + cell_out,
+                          bidx * (ohw + 2) + ohw + 1).reshape(-1)
+    oslotmap = jnp.full((b * (ohw + 2),), -1, jnp.int32).at[omap_addr].set(
+        jnp.minimum(colslot, nc).reshape(-1), mode="drop"
+    ).reshape(b, ohw + 2)
+
+    # candidates: per in column, the out columns it feeds (exact
+    # divisibility; cnt = ceil(k/s) per dim) and at which (dy, dx)
+    iy = col_cell // w
+    ix = col_cell % w  # sentinel rows are killed by the col_cell < hw guard
+    cnt_y = -(-ky // stride[1])
+    cnt_x = -(-kx // stride[2])
+    joffs = np.stack(
+        np.meshgrid(np.arange(cnt_y), np.arange(cnt_x), indexing="ij"), -1
+    ).reshape(-1, 2)  # (J, 2) static
+    jy = jnp.asarray(joffs[:, 0])
+    jx = jnp.asarray(joffs[:, 1])
+    dy0 = (iy[:, :, None] + pad[1]) % stride[1]
+    dx0 = (ix[:, :, None] + pad[2]) % stride[2]
+    dy = dy0 + jy * stride[1]
+    dx = dx0 + jx * stride[2]
+    oy = (iy[:, :, None] + pad[1] - dy) // stride[1]
+    ox = (ix[:, :, None] + pad[2] - dx) // stride[2]
+    okc = (
+        (dy < ky) & (dx < kx) & (oy >= 0) & (oy < oh) & (ox >= 0) & (ox < ow)
+        & (col_cell < hw)[:, :, None]
+    )
+    ocell = jnp.where(okc, oy * ow + ox, ohw)
+    qc = col_cell.shape[1] * len(joffs)
+    ocell = ocell.reshape(b, qc)
+    offidx = (dy * kx + dx).reshape(b, qc)
+    okc = okc.reshape(b, qc)
+
+    # out slot per candidate (small-map lookups), then ONE slot scatter
+    oslot = jnp.stack(
+        [jnp.take(oslotmap[i], jnp.where(okc, ocell, ohw)[i] )
+         for i in range(b)], axis=0
+    )
+    valid = okc & (oslot >= 0) & (oslot < nc)
+    inslot = jnp.broadcast_to(
+        jnp.arange(col_cell.shape[1], dtype=jnp.int32)[None, :, None],
+        (b, col_cell.shape[1], len(joffs)),
+    ).reshape(b, qc)
+    addr = jnp.where(valid,
+                     (bidx * (nc + 1) + oslot) * k2 + offidx,
+                     b * (nc + 1) * k2).reshape(-1)
+    nbrslot = jnp.full((b * (nc + 1) * k2 + 1,), ncin, jnp.int32).at[
+        addr
+    ].set(inslot.reshape(-1), mode="drop")[:-1].reshape(b, (nc + 1) * k2)
+
+    # records per cache slot, then one cached row per site (as in cached)
+    recs = _take_maybe_per_sample(t4c, nbrslot)  # (B, (NC+1)*K2, 4)
+    cache = recs.reshape(b, nc + 1, k2 * 4)
+    crow_idx = jnp.where(out_mask & (colslot < nc), colslot, nc)
+    zero_tail = jnp.zeros((b, 1, k2 * 4), cache.dtype)
+    cache = jnp.concatenate([cache[:, :nc], zero_tail], axis=1)
+    crow = _take_maybe_per_sample(cache, crow_idx)
+
+    comp = crow.reshape(b, m, k2, 4)
+    w0 = comp[..., 0].reshape(b, m * k2)
+    w1 = comp[..., 1].reshape(b, m * k2)
+    w2 = comp[..., 2].reshape(b, m * k2)
+    colstart = comp[..., 3].reshape(b, m * k2)
+    oz = jnp.where(out_mask, ok % od, 0)
+    z0 = jnp.broadcast_to(
+        (oz * stride[0] - pad[0])[:, :, None], (b, m, k2)
+    ).reshape(b, m * k2)
+    start, pattern = _zwin_from_records(w0, w1, w2, colstart, z0, d, kz,
+                                        n_in)
+    return start, pattern, ncol_dropped
 
 
 def _compact_nbr_records(t4c, slotmap, in_grid, out_keys, out_mask,
@@ -720,7 +833,7 @@ def zwin_rulebook_cached(t4c, slotmap, n_in, in_grid, out_keys, out_mask,
     hw = h * w
     kz, ky, kx = kernel
     k2 = ky * kx
-    assert kz <= 3 and k2 == 9
+    assert kz <= 3  # any ky*kx: offsets are enumerated from the kernel
     od, oh, ow = out_grid
     nc = col_cap or m
 
@@ -1108,7 +1221,7 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
         # ~2.3ns/row) instead of the dense (B, HW+1, 4) CSR table whose
         # 288MB stage-0 record gathers ran at ~7ns/row (round-3 rework).
         # cap = n: columns can never exceed sites, so no truncation here
-        t4c, slotmap, _, _ = build_col_compact(keys, mask, grid, n)
+        t4c, slotmap, _, _, col_cell = build_col_compact(keys, mask, grid, n)
         pad_s = tuple(s // 2 for s in subm_kernel) if subm_kernel else None
         rbs = None
         if subm_kernel is not None:
@@ -1118,8 +1231,10 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
             )
             rbs = (s_, p_)
             n_dropped = n_dropped + cdrop_s
-        sd_, pd_, cdrop_d = zwin_rulebook_cached(
-            t4c, slotmap, n, grid, out_keys, out_mask, out_grid,
+        # strided down conv: scatter-built cache (candidate-count lookups
+        # into the small OUT-resolution slot map; see the function doc)
+        sd_, pd_, cdrop_d = zwin_rulebook_down_scatter(
+            t4c, col_cell, n, grid, out_keys, out_mask, out_grid,
             down_kernel, down_stride, down_pad, col_cap=down_col_cap,
         )
         return rbs, (sd_, pd_), out_keys, out_mask, n_dropped + cdrop_d
@@ -1339,7 +1454,7 @@ def plan_stage_train_batched(keys, mask, grid, down_kernel, down_stride,
 
     pad_s = tuple(s // 2 for s in subm_kernel) if subm_kernel else None
     if grid[0] <= 48:
-        t4c, slotmap, _, _ = build_col_compact(keys, mask, grid, n)
+        t4c, slotmap, _, _, _ = build_col_compact(keys, mask, grid, n)
         rbs = None
         if subm_kernel is not None:
             rbs = rulebook_compact(t4c, slotmap, n, grid, keys, mask, grid,
