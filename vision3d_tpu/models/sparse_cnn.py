@@ -299,9 +299,9 @@ def _zwin_conv(feats, rb, weight, kernel, cdt, mode):
     while on CPU interpret-mode Pallas is orders slower than XLA.
     """
     if mode == "pallas" or (mode == "auto" and jax.default_backend() == "tpu"):
-        from vision3d_tpu.ops.pallas.zwin_conv import conv_zwin_apply_pallas2
+        from vision3d_tpu.ops.pallas import zwin_conv
 
-        return conv_zwin_apply_pallas2(
+        return zwin_conv.PRODUCTION_ZWIN(
             feats, rb[0], rb[1], weight, kernel, compute_dtype=cdt
         )
     return sp.conv_zwin_apply(feats, rb[0], rb[1], weight, kernel,

@@ -366,3 +366,9 @@ def conv_zwin_apply_pallas(feats, start, pattern, weight, kernel,
         axis=-1,
     ).astype(compute_dtype)  # (B, K2, M, P)
     return zwin_conv_gemm(g_km, masks, weight, kernel)
+
+
+# The kernel Config.zwin_backend="auto"/"pallas" dispatches to (see
+# models/sparse_cnn._zwin_conv). v2 and v3 are numerically equivalent;
+# the winner is chosen by tools/microbench_zwin.py on the target chip.
+PRODUCTION_ZWIN = conv_zwin_apply_pallas2
