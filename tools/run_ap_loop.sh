@@ -1,47 +1,57 @@
 #!/bin/bash
-# End-to-end AP loop on synthetic KITTI (VERDICT r2 item 2):
+# End-to-end AP loop on synthetic KITTI (VERDICT r2 item 2 / r3 item 1):
 #   train (train_cli, full real data pipeline + augmentation)
 #   -> eval (eval_cli, official-protocol 3D AP@R40)
 #   -> torch cross-check (tools/torch_crosscheck.py)
-# Produces AP_r03.json at the repo root.
+# Produces AP_${TAG}.json at the repo root.
+#
+# Env knobs: EPOCHS (default 12), CKPT (checkpoint dir, default
+# ./ckpts_synth_${TAG}), TAG (artifact suffix, default r04),
+# SKIP_TRAIN=1 to eval/crosscheck an existing CKPT's latest epoch.
 set -e
 cd "$(dirname "$0")/.."
 DATA=data/synth_kitti
-EPOCHS=${EPOCHS:-24}
-CKPT=./ckpts_synth
+TAG=${TAG:-r04}
+EPOCHS=${EPOCHS:-12}
+CKPT=${CKPT:-./ckpts_synth_${TAG}}
 
 # batch 4 (the reference's own car.yaml batch); --dense-from 4 trains the
 # fully sparse graph (the dense stages' conv3d backward OOMs 16GB HBM at
 # full geometry; parameters are representation-independent so eval runs
 # at the default dense cutover)
-python -m vision3d_tpu.train_cli --config configs/second/car.yaml \
-  --data-root $DATA/training/ --split-dir $DATA/splitfiles/ \
-  --cache-dir $DATA/cache/ --ckpt-dir $CKPT --batch-size 4 \
-  --epochs $EPOCHS --workers 6 --dense-from 4 \
-  --metrics-jsonl ./metrics_synth.jsonl
+if [ "${SKIP_TRAIN:-0}" != "1" ]; then
+  python -m vision3d_tpu.train_cli --config configs/second/car.yaml \
+    --data-root $DATA/training/ --split-dir $DATA/splitfiles/ \
+    --cache-dir $DATA/cache/ --ckpt-dir $CKPT --batch-size 4 \
+    --epochs $EPOCHS --workers 6 --dense-from 4 \
+    --metrics-jsonl ./metrics_synth_${TAG}.jsonl
+fi
 
 LAST=$(ls -d $CKPT/epoch_* | sed 's/.*epoch_//' | sort -n | tail -1)
+echo "evaluating $CKPT/epoch_$LAST"
 python -m vision3d_tpu.eval_cli --config configs/second/car.yaml \
   --data-root $DATA/training/ --split-dir $DATA/splitfiles/ \
   --cache-dir $DATA/cache/ --ckpt $CKPT/epoch_$LAST --split val \
-  --batch-size 8 --out-json ./AP_r03_ours.json
+  --batch-size 8 --out-json ./AP_${TAG}_ours.json
 
 python tools/torch_crosscheck.py --ckpt $CKPT/epoch_$LAST \
   --config configs/second/car.yaml --data-root $DATA/training/ \
   --split-dir $DATA/splitfiles/ --cache-dir $DATA/cache/ \
-  --frames 16 --out-json ./AP_r03_crosscheck.json
+  --frames 16 --out-json ./AP_${TAG}_crosscheck.json
 
-python - <<'EOF'
-import json
-ours = json.load(open("AP_r03_ours.json"))
-cross = json.load(open("AP_r03_crosscheck.json"))
+TAG=$TAG CKPT=$CKPT LAST=$LAST python - <<'EOF2'
+import json, os
+tag = os.environ["TAG"]
+ours = json.load(open(f"AP_{tag}_ours.json"))
+cross = json.load(open(f"AP_{tag}_crosscheck.json"))
 json.dump(
     dict(
         dataset="synthetic KITTI (tools/make_synthetic_kitti.py, 400 train / 100 val)",
+        checkpoint=f"{os.environ['CKPT']}/epoch_{os.environ['LAST']}",
         ap_val_full=ours,
         crosscheck=cross,
     ),
-    open("AP_r03.json", "w"), indent=2,
+    open(f"AP_{tag}.json", "w"), indent=2,
 )
-print(json.dumps(json.load(open("AP_r03.json")), indent=2))
-EOF
+print(json.dumps(json.load(open(f"AP_{tag}.json")), indent=2))
+EOF2
