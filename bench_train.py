@@ -49,7 +49,7 @@ def main():
     cfg = Config()
     cfg = cfg.replace(
         num_classes=1, anchors=cfg.anchors[:1], compute_dtype=args.dtype,
-        dense_from_stage=args.dense_from,
+        train_dense_from_stage=args.dense_from,
     )
     if args.quick:
         cfg = cfg.replace(

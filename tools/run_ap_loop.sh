@@ -15,15 +15,15 @@ TAG=${TAG:-r04}
 EPOCHS=${EPOCHS:-12}
 CKPT=${CKPT:-./ckpts_synth_${TAG}}
 
-# batch 4 (the reference's own car.yaml batch); --dense-from 4 trains the
-# fully sparse graph (the dense stages' conv3d backward OOMs 16GB HBM at
-# full geometry; parameters are representation-independent so eval runs
-# at the default dense cutover)
+# batch 4 (the reference's own car.yaml batch); the training graph is
+# fully sparse by default (cfg.train_dense_from_stage=4 — the dense
+# stages' conv3d backward OOMs 16GB HBM at full geometry; parameters are
+# representation-independent so eval runs at the default dense cutover)
 if [ "${SKIP_TRAIN:-0}" != "1" ]; then
   python -m vision3d_tpu.train_cli --config configs/second/car.yaml \
     --data-root $DATA/training/ --split-dir $DATA/splitfiles/ \
     --cache-dir $DATA/cache/ --ckpt-dir $CKPT --batch-size 4 \
-    --epochs $EPOCHS --workers 6 --dense-from 4 \
+    --epochs $EPOCHS --workers 6 \
     --metrics-jsonl ./metrics_synth_${TAG}.jsonl
 fi
 

@@ -209,6 +209,15 @@ class Config:
     # 0..3; 4 disables dense mode.
     dense_from_stage: int = 2
 
+    # Dense cutover for the TRAINING graph. Default 4 = fully sparse:
+    # XLA's conv3d BACKWARD materializes ~10 spatially-partitioned f32
+    # temporaries (25-35GB at full KITTI geometry, > 16GB v5e HBM) and —
+    # unlike activation memory — remat cannot shrink a single op's
+    # backward working set. The sparse path's conv-as-backward custom
+    # VJPs are memory-lean. Parameters are representation-independent,
+    # so checkpoints trained at any setting evaluate at any other.
+    train_dense_from_stage: int = 4
+
     anchors: tuple = (
         AnchorConfig(),
         AnchorConfig(

@@ -687,7 +687,9 @@ class SpMiddleFHD(nn.Module):
         for si, (subm_channels, down) in enumerate(self.block_specs()):
             if n_stages is not None and si >= n_stages:
                 return None, jnp.sum(x.feats.astype(jnp.float32))
-            if si >= self.cfg.dense_from_stage:
+            dense_from = (self.cfg.train_dense_from_stage if train
+                          else self.cfg.dense_from_stage)
+            if si >= dense_from:
                 # late stages run as dense masked volumes (see DenseTensor)
                 if isinstance(x, SparseTensor):
                     if train:

@@ -35,13 +35,12 @@ def main(argv=None):
                     help="data-loader worker processes (reference train.py:18)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dense-from", type=int, default=None,
-                    help="cfg.dense_from_stage override for TRAINING. 4 = "
-                         "fully sparse training graph: the dense stages' "
-                         "conv3d backward materializes ~10 spatially-"
-                         "partitioned f32 temporaries (~19GB at full KITTI "
-                         "geometry, out of 16GB HBM on v5e) while the "
-                         "sparse path's conv-as-backward custom VJPs are "
-                         "memory-lean. Parameters are representation-"
+                    help="cfg.train_dense_from_stage override. The default "
+                         "(4, fully sparse training graph) fits full KITTI "
+                         "geometry in 16GB HBM; lower values run late "
+                         "stages as dense conv3d, whose backward "
+                         "materializes 25-35GB of temporaries at full "
+                         "geometry. Parameters are representation-"
                          "independent, so checkpoints trained at any "
                          "setting evaluate at any other.")
     args = ap.parse_args(argv)
@@ -86,7 +85,7 @@ def main(argv=None):
     if data_overrides:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_overrides))
     if args.dense_from is not None:
-        cfg = cfg.replace(dense_from_stage=args.dense_from)
+        cfg = cfg.replace(train_dense_from_stage=args.dense_from)
 
     dataset = KittiDatasetTrain(cfg, rng=np.random.default_rng(args.seed),
                                 verbose=proc_id == 0)
