@@ -116,6 +116,106 @@ def invert_to_torch_sd(variables, cfg):
     return sd
 
 
+def _sort_by_key(coords, grid):
+    _, h, w = grid
+    key = (coords[:, 0].astype(np.int64) * h + coords[:, 1]) * w + coords[:, 2]
+    order = np.argsort(key, kind="stable")
+    return order, key[order]
+
+
+def _conv_taps(feats_t, skey, in_grid, out_coords, kernel, stride, pad, wk):
+    """out[o] = sum_d W[d] @ x[o*s - p + d] over active inputs (spconv
+    cross-correlation semantics, reference sparse_cnn.py:151-175).
+    feats_t (N_in, Cin) torch rows sorted by key; skey the sorted keys;
+    wk torch (Cout, Cin, kz, ky, kx). Returns (N_out, Cout)."""
+    import torch
+
+    d, h, w = in_grid
+    kz, ky, kx = wk.shape[2:]
+    n_out = len(out_coords)
+    out = torch.zeros((n_out, wk.shape[0]), dtype=torch.float32)
+    base = out_coords * np.asarray(stride) - np.asarray(pad)
+    for dz in range(kz):
+        for dy in range(ky):
+            for dx in range(kx):
+                nb = base + np.asarray([dz, dy, dx])
+                ok = (
+                    (nb >= 0).all(1)
+                    & (nb[:, 0] < d) & (nb[:, 1] < h) & (nb[:, 2] < w)
+                )
+                nk = (nb[:, 0].astype(np.int64) * h + nb[:, 1]) * w + nb[:, 2]
+                pos = np.searchsorted(skey, nk)
+                pos = np.clip(pos, 0, max(len(skey) - 1, 0))
+                hit = np.flatnonzero(ok & (skey[pos] == nk))
+                if len(hit) == 0:
+                    continue
+                g = feats_t[pos[hit]]
+                out[hit] += g @ wk[:, :, dz, dy, dx].T
+    return out
+
+
+def _down_active_set(coords, in_grid, kernel, stride, pad):
+    """spconv SparseConv3d output active set: any output site whose
+    receptive field covers >= 1 active input (the dilation semantics the
+    dense restatement realises with the mask conv)."""
+    og = tuple(
+        (g + 2 * p_ - k_) // s_ + 1
+        for g, k_, s_, p_ in zip(in_grid, kernel, stride, pad)
+    )
+    outs = []
+    for dz in range(kernel[0]):
+        for dy in range(kernel[1]):
+            for dx in range(kernel[2]):
+                t = coords + np.asarray(pad) - np.asarray([dz, dy, dx])
+                ok = (t % np.asarray(stride) == 0).all(1)
+                o = t // np.asarray(stride)
+                ok &= (o >= 0).all(1)
+                ok &= (o[:, 0] < og[0]) & (o[:, 1] < og[1]) & (o[:, 2] < og[2])
+                outs.append(o[ok])
+    out = np.unique(np.concatenate(outs, 0), axis=0)
+    return out, og
+
+
+def torch_sparse_cnn_forward(parity, sd, feats0, coords0, grid):
+    """Reference SpMiddleFHD restated SPARSELY in torch/numpy: identical
+    values to parity.torch_cnn_forward (dense-grid restatement,
+    tests/test_parity_stack.py) at the active sites, but without
+    materializing the 41x1600x1408 volume — the dense path is ~50 TFLOP
+    per frame and infeasible on this host for real geometry. Independent
+    of the JAX path: numpy searchsorted neighbor lookup + torch GEMMs.
+    feats0 (N, 4) float32, coords0 (N, 3) int (z, y, x) active voxels.
+    Returns the BEV map (1, C*D, H, W), c-major like reference to_bev."""
+    import torch
+    import torch.nn.functional as F
+
+    coords = coords0.astype(np.int64)
+    order, skey = _sort_by_key(coords, grid)
+    coords = coords[order]
+    x = torch.tensor(feats0[order])
+    for b, (cin, subm, (cdown, k, s, p)) in enumerate(parity.CNN_PLAN):
+        for l in range(len(subm)):
+            wk = sd[f"cnn.blocks.{b}.{l}.0.weight"].permute(4, 3, 0, 1, 2)
+            x = _conv_taps(x, skey, grid, coords, (3, 3, 3), (1, 1, 1),
+                           (1, 1, 1), wk)
+            x = parity.torch_bn(x, sd, f"cnn.blocks.{b}.{l}.1")
+            x = F.relu(x)
+        l = len(subm)
+        out_coords, og = _down_active_set(coords, grid, k, s, p)
+        wk = sd[f"cnn.blocks.{b}.{l}.0.weight"].permute(4, 3, 0, 1, 2)
+        x = _conv_taps(x, skey, grid, out_coords, k, s, p, wk)
+        x = parity.torch_bn(x, sd, f"cnn.blocks.{b}.{l}.1")
+        x = F.relu(x)
+        coords, grid = out_coords, og
+        order, skey = _sort_by_key(coords, grid)
+        coords = coords[order]
+        x = x[order]
+    d, h, w = grid
+    c = x.shape[1]
+    dense = torch.zeros((c, d, h, w), dtype=torch.float32)
+    dense[:, coords[:, 0], coords[:, 1], coords[:, 2]] = x.T
+    return dense.reshape(1, c * d, h, w)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
@@ -124,6 +224,9 @@ def main():
     ap.add_argument("--split-dir", required=True)
     ap.add_argument("--cache-dir", required=True)
     ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--dense-middle", action="store_true",
+                    help="use the dense-grid torch restatement (exact but "
+                         "~50 TFLOP/frame; only viable on tiny grids)")
     ap.add_argument("--out-json", default=None)
     args = ap.parse_args()
 
@@ -180,16 +283,21 @@ def main():
         feats = np.asarray(mean_vfe(vox["features"], vox["occupancy"]))[0]
         coords = np.asarray(vox["coords"])[0]
         vmask = np.asarray(vox["voxel_mask"])[0]
-        dense = np.zeros((4, d, h, w), np.float32)
-        mask0 = np.zeros((d, h, w), bool)
         sel = np.flatnonzero(vmask)
         zyx = coords[sel]
-        dense[:, zyx[:, 0], zyx[:, 1], zyx[:, 2]] = feats[sel].T
-        mask0[zyx[:, 0], zyx[:, 1], zyx[:, 2]] = True
         with torch.no_grad():
-            bev_t, _ = parity.torch_cnn_forward(
-                sd, torch.tensor(dense)[None], torch.tensor(mask0)
-            )
+            if args.dense_middle:
+                dense = np.zeros((4, d, h, w), np.float32)
+                mask0 = np.zeros((d, h, w), bool)
+                dense[:, zyx[:, 0], zyx[:, 1], zyx[:, 2]] = feats[sel].T
+                mask0[zyx[:, 0], zyx[:, 1], zyx[:, 2]] = True
+                bev_t, _ = parity.torch_cnn_forward(
+                    sd, torch.tensor(dense)[None], torch.tensor(mask0)
+                )
+            else:
+                bev_t = torch_sparse_cnn_forward(
+                    parity, sd, feats[sel], zyx, (d, h, w)
+                )
             _, cls_t, reg_t = parity.torch_rpn_head(sd, bev_t, cfg)
         det_t = head_inference(
             jnp.asarray(cls_t.numpy()), jnp.asarray(reg_t.numpy()),

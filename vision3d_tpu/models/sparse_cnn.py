@@ -327,6 +327,12 @@ def _dense_conv(x, weight, kernel, stride, pad, cdt):
     return out.astype(jnp.float32)
 
 
+# Ruled out by measurement (tools/microbench_r4.py, v5e batch 8): conv3d
+# as kz z-slice-batched conv2ds (out[:, z] = sum_dz conv2d(x[:, z+dz-p],
+# W[dz])) — 66.0ms vs conv3d's 32.5ms at the s2 subm shape and 66.9 vs
+# 5.7ms for the s2 down conv; the strided z-slice views force relayouts
+# that swamp the hoped-for 2D-lowering MXU gain. XLA's NDHWC conv3d
+# (84 TFLOP/s-effective) stays the dense backend.
 def dense_dilate_occ(occ, kernel, stride, pad):
     """spconv strided-conv active set: any active input in the window.
     occ (B, D, H, W) z-major."""
