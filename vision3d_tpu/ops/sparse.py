@@ -529,8 +529,22 @@ VMEM_TABLE_BYTES = 48 * 1024 * 1024
 # active columns: 14k/25k/23k/12k per stage at KITTI density — far under)
 MAX_COL_SLOTS = 32000
 
+# plan_stage_batched uses the dense-record-image rulebooks
+# (zwin_rulebook_dense_shift) when the input BEV has at most this many
+# cells: the (B, OHW, 36) tap stack + dense image beat the per-column
+# caches at stage-1 size (563k cells) but lose — and can exceed HBM — at
+# stage 0 (2.25M cells), where the cached/scatter variants stay.
+DENSE_SHIFT_MAX_BEV_CELLS = 1_000_000
 
-def build_col_compact(keys, mask, grid, ncol_cap):
+# Ruled out by measurement: fetching each site's cached neighbor row via
+# scatter+cumsum forward fill (scatter each column's row DELTA at its
+# first sorted site, cumsum over the site axis) instead of per-site
+# wide-row gathers. TPU v5e, tools/probe_cached_rb.py, s1 bench
+# geometry: ffill 28.1ms vs gather 11.6ms — the (B, M, 144B) int32
+# cumsum costs more than the row gathers it removes.
+
+
+def build_col_compact(keys, mask, grid, ncol_cap, want_slotmap=True):
     """Compact per-active-BEV-column records, straight from sorted keys.
 
     The round-2 rulebooks gathered 16-byte records from a DENSE
@@ -605,11 +619,14 @@ def build_col_compact(keys, mask, grid, ncol_cap):
     # ONE flat (B*(HW+1),) map at stage 0 is 36MB and its element gathers
     # ran at the slow flat-path rate, which made plan_stage the most
     # expensive op in the whole network (122ms at stage 0, round 3).
-    map_addr = jnp.where(f & slot_ok, bidx * (hw + 2) + cell,
-                         bidx * (hw + 2) + hw + 1).reshape(-1)
-    slotmap = jnp.full((b * (hw + 2),), -1, slot_dtype).at[map_addr].set(
-        jnp.minimum(colslot, nc).astype(slot_dtype).reshape(-1), mode="drop"
-    ).reshape(b, hw + 2)
+    slotmap = None
+    if want_slotmap:  # dense-shift rulebook consumers don't need the map
+        map_addr = jnp.where(f & slot_ok, bidx * (hw + 2) + cell,
+                             bidx * (hw + 2) + hw + 1).reshape(-1)
+        slotmap = jnp.full((b * (hw + 2),), -1, slot_dtype).at[map_addr].set(
+            jnp.minimum(colslot, nc).astype(slot_dtype).reshape(-1),
+            mode="drop"
+        ).reshape(b, hw + 2)
     ncol_dropped = jnp.maximum(ncol - nc, 0)
     return t4c, slotmap, colslot, ncol_dropped, col_cell
 
@@ -724,6 +741,95 @@ def zwin_rulebook_down_scatter(t4c, col_cell, n_in, in_grid, out_keys,
     start, pattern = _zwin_from_records(w0, w1, w2, colstart, z0, d, kz,
                                         n_in)
     return start, pattern, ncol_dropped
+
+
+def zwin_rulebook_dense_shift(t4c, col_cell, n_in, in_grid, out_keys,
+                              out_mask, out_grid, kernel, stride=(1, 1, 1),
+                              pad=(0, 0, 0), img=None):
+    """Z-window rulebook via a DENSE record image + shifted slices.
+
+    zwin_rulebook_cached / _down_scatter pay 1-2 indexed ops per cache
+    slot x K2 (slot-map lookups + 16B record gathers, each at the ~7ns
+    HBM-latency rate — the plan layer's whole cost). But "the K2 neighbor
+    records of an output column" is a fixed BEV translation, so: scatter
+    the compact records ONCE into a dense (B, H, W, 4) record image
+    (NCol sorted row scatters), build the (B, OHW, K2*4) neighbor stack
+    as K2 shifted — strided, for down convs — SLICES of that image
+    (pure streaming, zero indexed ops), and fetch ONE 144B stacked row
+    per output site. Indexed ops drop from (2*K2+1)*NCol + M row/element
+    gathers to NCol row scatters + M row gathers; the slot map is not
+    needed at all. (Measured numbers: tools/profile_plan_parts.py.)
+
+    ``img`` lets the subm and down rulebooks of one stage share the
+    scattered record image (build it with dense_record_image). Returns
+    (start, pattern) in the csr_zwin_rulebook contract.
+    """
+    b, m = out_keys.shape
+    d, h, w = in_grid
+    hw = h * w
+    kz, ky, kx = kernel
+    k2 = ky * kx
+    od, oh, ow = out_grid
+    ohw = oh * ow
+    assert kz <= 3
+
+    if img is None:
+        img = dense_record_image(t4c, col_cell, in_grid)
+
+    # (B, OH*OW, 4*K2) neighbor stack as ONE identity-filter conv
+    # (lax patches): K2 separate shifted slices each materialize a
+    # (.., 4)-minor tensor the TPU lane-pads 32x — the patches lowering
+    # emits the stack in one pass (channel-major: component c's K2 taps
+    # are lanes [c*K2, (c+1)*K2)). Records are exact in f32 (16-bit
+    # words, colstart < 2^24). Zero-padded edges = the miss record.
+    py_hi = max((oh - 1) * stride[1] + ky - 1 - pad[1] - (h - 1), 0)
+    px_hi = max((ow - 1) * stride[2] + kx - 1 - pad[2] - (w - 1), 0)
+    pat = jax.lax.conv_general_dilated_patches(
+        img, filter_shape=(ky, kx),
+        window_strides=(stride[1], stride[2]),
+        padding=((pad[1], py_hi), (pad[2], px_hi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # TPU f32 convs default to bf16 multiplies (8 mantissa bits) —
+        # 16-bit record words would round; HIGHEST keeps them exact
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    stack = pat.reshape(b, ohw, 4 * k2)
+    # must materialize: fused into the site gather below it would regress
+    # to K2 record gathers per site (the round-2 dense-table design)
+    stack = jax.lax.optimization_barrier(stack)
+
+    ok = jnp.where(out_mask, out_keys, 0)
+    cell_out = jnp.where(out_mask, ok // od, 0)
+    crow = _take_maybe_per_sample(stack, cell_out)  # (B, M, 4*K2)
+    crow = jnp.where(out_mask[:, :, None], crow, 0).astype(jnp.int32)
+
+    w0 = crow[:, :, :k2].reshape(b, m * k2)
+    w1 = crow[:, :, k2:2 * k2].reshape(b, m * k2)
+    w2 = crow[:, :, 2 * k2:3 * k2].reshape(b, m * k2)
+    colstart = crow[:, :, 3 * k2:].reshape(b, m * k2)
+    oz = jnp.where(out_mask, ok % od, 0)
+    z0 = jnp.broadcast_to(
+        (oz * stride[0] - pad[0])[:, :, None], (b, m, k2)
+    ).reshape(b, m * k2)
+    return _zwin_from_records(w0, w1, w2, colstart, z0, d, kz, n_in)
+
+
+def dense_record_image(t4c, col_cell, in_grid):
+    """Scatter compact column records (build_col_compact) into a dense
+    (B, H, W, 4) f32 record image (exact: 16-bit words, colstart < 2^24;
+    f32 so the K2-tap stack can be one MXU patches conv). Addresses
+    ascend within each sample (col_cell is built from sorted keys);
+    inactive cells keep the all-zero miss record."""
+    b = t4c.shape[0]
+    nc = t4c.shape[1] - 1
+    _, h, w = in_grid
+    hw = h * w
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    addr = jnp.where(col_cell[:, :nc] < hw, bidx * hw + col_cell[:, :nc],
+                     b * hw).reshape(-1)
+    img = jnp.zeros((b * hw + 1, 4), jnp.float32).at[addr].set(
+        t4c[:, :nc].reshape(-1, 4).astype(jnp.float32), mode="drop")[:-1]
+    return img.reshape(b, h, w, 4)
 
 
 def _compact_nbr_records(t4c, slotmap, in_grid, out_keys, out_mask,
@@ -1214,13 +1320,36 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
         )
     )(keys, mask)
 
-    if grid[0] <= 48:
+    if grid[0] <= 48 and grid[1] * grid[2] <= DENSE_SHIFT_MAX_BEV_CELLS:
         # z-window rulebooks: (start, pattern) pairs consumed by
         # conv_zwin_apply — 9 window gathers per site instead of 27.
-        # Built from COMPACT per-active-column records (VMEM-resident,
-        # ~2.3ns/row) instead of the dense (B, HW+1, 4) CSR table whose
-        # 288MB stage-0 record gathers ran at ~7ns/row (round-3 rework).
+        # Round-4 rework for mid-size BEV grids: ONE dense record image
+        # shared by the subm and down rulebooks, each built by a single
+        # identity-filter patches conv + one wide row gather per site
+        # (zwin_rulebook_dense_shift) — replaces the per-column cache
+        # gathers of zwin_rulebook_cached / _down_scatter (s1 plan
+        # 97 -> 31ms measured, batch 8). At stage-0 BEV size the stack
+        # materialization loses to the caches (and can exceed HBM), so
+        # the huge-grid stage keeps the cached/scatter path below.
         # cap = n: columns can never exceed sites, so no truncation here
+        t4c, _, _, _, col_cell = build_col_compact(keys, mask, grid, n,
+                                                   want_slotmap=False)
+        img = dense_record_image(t4c, col_cell, grid)
+        rbs = None
+        if subm_kernel is not None:
+            pad_s = tuple(s // 2 for s in subm_kernel)
+            rbs = zwin_rulebook_dense_shift(
+                t4c, col_cell, n, grid, keys, mask, grid, subm_kernel,
+                (1, 1, 1), pad_s, img=img,
+            )
+        rbd = zwin_rulebook_dense_shift(
+            t4c, col_cell, n, grid, out_keys, out_mask, out_grid,
+            down_kernel, down_stride, down_pad, img=img,
+        )
+        return rbs, rbd, out_keys, out_mask, n_dropped
+
+    if grid[0] <= 48:
+        # huge-BEV stage: compact per-column record caches (round 3)
         t4c, slotmap, _, _, col_cell = build_col_compact(keys, mask, grid, n)
         pad_s = tuple(s // 2 for s in subm_kernel) if subm_kernel else None
         rbs = None
