@@ -110,14 +110,20 @@ def test_compact_rulebooks_match_csr(rng):
     ok_, om_, _ = jax.vmap(lambda kk, mm: sp.downsample_active_set(
         kk, mm, grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), 400))(keys, mask)
     og = sp.out_grid_shape(grid, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+    # k3s2p0: exercises dense-shift's high-side pad clamp (py_hi/px_hi > 0)
+    ok0, om0, _ = jax.vmap(lambda kk, mm: sp.downsample_active_set(
+        kk, mm, grid, (3, 3, 3), (2, 2, 2), (0, 0, 0), 400))(keys, mask)
+    og0 = sp.out_grid_shape(grid, (3, 3, 3), (2, 2, 2), (0, 0, 0))
 
     rec = sp.build_csr(keys, mask, grid)
     t4c, slotmap, _, ncdrop, col_cell = sp.build_col_compact(keys, mask, grid, 400)
     assert int(np.asarray(ncdrop).sum()) == 0
+    img = sp.dense_record_image(t4c, col_cell, grid)
 
     for outk, outm, outg, st, pd in [
         (keys, mask, grid, (1, 1, 1), (1, 1, 1)),
         (ok_, om_, og, (2, 2, 2), (1, 1, 1)),
+        (ok0, om0, og0, (2, 2, 2), (0, 0, 0)),
     ]:
         s1, p1 = sp.csr_zwin_rulebook(rec, N, grid, outk, outm, outg,
                                       (3, 3, 3), st, pd)
@@ -130,6 +136,15 @@ def test_compact_rulebooks_match_csr(rng):
         assert int(np.asarray(cdrop).sum()) == 0
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s3))
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p3))
+        # production path on mid-size BEV grids (plan_stage_batched first
+        # branch): dense record image + shifted-slice rulebook, both with
+        # its own image build and with a stage-shared one
+        for im in (None, img):
+            s5, p5 = sp.zwin_rulebook_dense_shift(
+                t4c, col_cell, N, grid, outk, outm, outg, (3, 3, 3), st,
+                pd, img=im)
+            np.testing.assert_array_equal(np.asarray(s1), np.asarray(s5))
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(p5))
         if st != (1, 1, 1):
             s4, p4, cdrop4 = sp.zwin_rulebook_down_scatter(
                 t4c, col_cell, N, grid, outk, outm, outg, (3, 3, 3), st,

@@ -1,4 +1,4 @@
-"""Synthetic-KITTI dataset writer: KITTI-format frames with planted cars.
+"""Synthetic-KITTI dataset writer: KITTI-format frames with planted objects.
 
 Emits ``velodyne/*.bin``, ``label_2/*.txt``, ``calib/*.txt`` and
 splitfiles (``train.txt``/``val.txt``) in the exact on-disk layout the
@@ -7,19 +7,31 @@ real dataset uses, so the ENTIRE data pipeline — label/calib parsing
 velodyne_reduced/, annotation cache, GT-database build, paste
 augmentation — runs unchanged. Purpose (VERDICT r2 item 2): close the
 train -> checkpoint -> eval -> AP loop end-to-end when real KITTI data
-cannot be mounted, producing an official-protocol Car 3D AP@R40 number.
+cannot be mounted, producing official-protocol 3D AP@R40 numbers.
 
 Scenes are LiDAR-like (surface returns, radial density falloff): a
-ground plane, K cars sampled near the Car anchor prior with yaw uniform
-in (-pi, pi], vertical clutter (poles/walls), all inside the camera FOV
-of a fixed KITTI-like calibration. Labels are written in the CAMERA
-frame (dims hwl, bottom-center t, ry = -yaw) with box2d projected
-through P2 so difficulty levels behave like the real parser's
-(data/kitti.py:62-74).
+ground plane, planted objects sampled near the per-class anchor priors
+(AnchorConfig wlh/center_z) with yaw uniform in (-pi, pi], vertical
+clutter (poles/walls), all inside the camera FOV of a fixed KITTI-like
+calibration. Labels are written in the CAMERA frame (dims hwl,
+bottom-center t, ry = -yaw) with box2d projected through P2 so
+difficulty levels behave like the real parser's (data/kitti.py:62-74).
+
+Round-5 hardening (VERDICT r4 items 4+5):
+  * ``--classes all`` plants Pedestrians and Cyclists alongside Cars so
+    the per-class thresholds / per-class NMS grouping / anchor stacking
+    run at system level (reference detector/proposal.py:41-59).
+  * The benchmark is DE-SATURATED: up to 20 cars per frame, partial
+    occlusion (an azimuthal sector of an occluded object's returns is
+    removed and the label's occlusion field set accordingly), and edge
+    truncation (objects may straddle the camera-FOV / range boundary;
+    truncation is written as the clipped-box2d area fraction) — so AP
+    sits measurably below ceiling and regressions are visible.
 
 Usage:
     python tools/make_synthetic_kitti.py --out /tmp/synth_kitti \
-        [--train 400] [--val 100] [--points 18000] [--seed 0]
+        [--train 400] [--val 100] [--points 18000] [--seed 0] \
+        [--classes car|all]
 """
 
 import argparse
@@ -107,30 +119,89 @@ def sample_car_surface(rng, box, n):
     return np.stack([px, py, z + lz], axis=1)
 
 
-def make_scene(rng, n_points):
-    """One frame: (points (N, 4) f32, boxes list of 7-dof velo arrays)."""
-    # --- plant cars (rejecting BEV-center collisions) ---
-    n_cars = rng.integers(3, 11)
-    boxes = []
-    for _ in range(n_cars * 4):
-        if len(boxes) >= n_cars:
-            break
-        cx = rng.uniform(6.0, 62.0)
-        half = min(0.75 * cx, 36.0)
-        cy = rng.uniform(-half, half)
-        w = rng.normal(1.63, 0.08)
-        l = rng.normal(3.9, 0.22)
-        h = rng.normal(1.55, 0.07)
-        yaw = rng.uniform(-np.pi, np.pi)
-        if any((cx - b[0]) ** 2 + (cy - b[1]) ** 2 < 4.5 ** 2 for b in boxes):
-            continue
-        boxes.append(np.array([cx, cy, GROUND_Z + h / 2, w, l, h, yaw]))
-    # --- car surface returns with radial density falloff ---
+def sample_pedestrian_surface(rng, box, n):
+    """n returns on a pedestrian-like vertical capsule surface."""
+    x, y, z, w, l, h, yaw = box
+    th = rng.uniform(-np.pi, np.pi, n)
+    v = rng.uniform(-0.48, 0.48, n)
+    # torso narrows toward head/feet
+    rscale = 0.48 * (1.0 - 0.5 * np.abs(v) * 2)
+    lx = np.cos(th) * rscale * l
+    ly = np.sin(th) * rscale * w
+    lz = v * h
+    c, s = np.cos(yaw), np.sin(yaw)
+    px = x + c * lx - s * ly
+    py = y + s * lx + c * ly
+    return np.stack([px, py, z + lz], axis=1)
+
+
+# Per-class plant priors: mean wlh from the AnchorConfig priors
+# (vision3d_tpu/config.py AnchorConfig; reference core/config.py:22-47),
+# count range per frame, bottom z, sampler, and max range (small objects
+# beyond ~48m return too few points to be plantable).
+CLASS_PRIORS = {
+    "Car": dict(wlh=(1.63, 3.9, 1.55), sd=(0.08, 0.22, 0.07),
+                count=(6, 21), xmax=64.0, sampler=sample_car_surface),
+    "Pedestrian": dict(wlh=(0.6, 0.8, 1.73), sd=(0.05, 0.08, 0.09),
+                       count=(2, 9), xmax=44.0,
+                       sampler=sample_pedestrian_surface),
+    "Cyclist": dict(wlh=(0.6, 1.76, 1.73), sd=(0.05, 0.12, 0.08),
+                    count=(1, 7), xmax=48.0, sampler=sample_car_surface),
+}
+
+
+def occlude(rng, pts, center, occ_level):
+    """Remove an azimuthal sector of an object's returns (about its own
+    center) to mimic partial occlusion; sector width grows with level."""
+    if occ_level == 0 or len(pts) == 0:
+        return pts
+    width = rng.uniform(0.3, 0.5) if occ_level == 1 else rng.uniform(0.5, 0.72)
+    a0 = rng.uniform(-np.pi, np.pi)
+    ang = np.arctan2(pts[:, 1] - center[1], pts[:, 0] - center[0])
+    rel = (ang - a0) % (2 * np.pi)
+    keep = rel > width * 2 * np.pi
+    if keep.sum() < 6:  # never fully erase an object
+        return pts[:6]
+    return pts[keep]
+
+
+def make_scene(rng, n_points, classes=("Car",)):
+    """One frame: (points (N, 4) f32, objs list of (name, box7, occ))."""
+    # --- plant objects (rejecting BEV-center collisions) ---
+    objs = []
+    for name in classes:
+        pri = CLASS_PRIORS[name]
+        n_want = rng.integers(*pri["count"])
+        placed = 0
+        for _ in range(int(n_want) * 4):
+            if placed >= n_want:
+                break
+            cx = rng.uniform(4.0 if name != "Car" else 6.0, pri["xmax"])
+            # allow FOV-edge placement so some objects are truncated
+            half = min(0.8 * cx, 38.0)
+            cy = rng.uniform(-half, half)
+            w, l, h = (rng.normal(m, s) for m, s in
+                       zip(pri["wlh"], pri["sd"]))
+            yaw = rng.uniform(-np.pi, np.pi)
+            rad = 0.5 * max(w, l)
+            if any((cx - b[0]) ** 2 + (cy - b[1]) ** 2
+                   < (rad + 0.5 * max(b[3], b[4]) + 0.6) ** 2
+                   for _, b, _ in objs):
+                continue
+            box = np.array([cx, cy, GROUND_Z + h / 2, w, l, h, yaw])
+            # partial occlusion: ~1/3 of objects lose a sector of returns
+            u = rng.random()
+            occ = 0 if u < 0.65 else (1 if u < 0.85 else 2)
+            objs.append((name, box, occ))
+            placed += 1
+    # --- object surface returns with radial density falloff ---
     obj_pts = []
-    for b in boxes:
+    for name, b, occ in objs:
         r = np.hypot(b[0], b[1])
-        m = int(np.clip(35000.0 / max(r, 5.0) ** 1.5, 12, 600))
-        obj_pts.append(sample_car_surface(rng, b, m))
+        area = b[3] * b[4] + (b[3] + b[4]) * b[5]  # rough surface area
+        m = int(np.clip(4200.0 * area / max(r, 5.0) ** 1.5, 12, 600))
+        p = CLASS_PRIORS[name]["sampler"](rng, b, m)
+        obj_pts.append(occlude(rng, p, b, occ))
     obj = (np.concatenate(obj_pts) if obj_pts else np.zeros((0, 3)))
 
     n_rest = max(n_points - len(obj), 1000)
@@ -166,11 +237,13 @@ def make_scene(rng, n_points):
     pts = pts[keep]
     refl = rng.uniform(0.05, 0.95, (len(pts), 1))
     pts = np.concatenate([pts, refl], axis=1).astype(np.float32)
-    return pts[rng.permutation(len(pts))], boxes
+    return pts[rng.permutation(len(pts))], objs
 
 
-def label_line(box):
-    """Velo 7-dof box -> KITTI camera-frame label line."""
+def label_line(name, box, occ=0):
+    """Velo 7-dof box -> KITTI camera-frame label line. Truncation is
+    the clipped-box2d area fraction (KITTI convention: fraction of the
+    object outside image bounds)."""
     x, y, z, w, l, h, yaw = box
     cam = velo_to_cam(np.array([[x, y, z]]))[0]
     ry = -yaw
@@ -180,11 +253,14 @@ def label_line(box):
     uv = project(velo_to_cam(box_corners_velo(box)))
     x1, y1 = uv.min(axis=0)
     x2, y2 = uv.max(axis=0)
-    x1, x2 = np.clip([x1, x2], 0, IMG_W)
-    y1, y2 = np.clip([y1, y2], 0, IMG_H)
+    full = max((x2 - x1) * (y2 - y1), 1e-6)
+    x1c, x2c = np.clip([x1, x2], 0, IMG_W)
+    y1c, y2c = np.clip([y1, y2], 0, IMG_H)
+    trunc = max(0.0, 1.0 - max(x2c - x1c, 0) * max(y2c - y1c, 0) / full)
     alpha = ry - np.arctan2(cam[0], cam[2])
     return (
-        f"Car 0.00 0 {alpha:.2f} {x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
+        f"{name} {trunc:.2f} {occ} {alpha:.2f} "
+        f"{x1c:.2f} {y1c:.2f} {x2c:.2f} {y2c:.2f} "
         f"{h:.2f} {w:.2f} {l:.2f} "
         f"{t_bottom[0]:.2f} {t_bottom[1]:.2f} {t_bottom[2]:.2f} {ry:.2f}"
     )
@@ -209,6 +285,8 @@ def main():
     ap.add_argument("--val", type=int, default=100)
     ap.add_argument("--points", type=int, default=19000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--classes", default="car", choices=["car", "all"],
+                    help="car: Car only; all: Car + Pedestrian + Cyclist")
     args = ap.parse_args()
 
     root = osp.join(args.out, "training")
@@ -216,15 +294,17 @@ def main():
         os.makedirs(osp.join(root, sub), exist_ok=True)
     os.makedirs(osp.join(args.out, "splitfiles"), exist_ok=True)
 
+    classes = ("Car",) if args.classes == "car" else (
+        "Car", "Pedestrian", "Cyclist")
     rng = np.random.default_rng(args.seed)
     n_total = args.train + args.val
     ctext = calib_text()
     for idx in range(n_total):
-        pts, boxes = make_scene(rng, args.points)
+        pts, objs = make_scene(rng, args.points, classes)
         pts.tofile(osp.join(root, "velodyne", f"{idx:06d}.bin"))
         with open(osp.join(root, "label_2", f"{idx:06d}.txt"), "w") as f:
-            for b in boxes:
-                f.write(label_line(b) + "\n")
+            for name, b, occ in objs:
+                f.write(label_line(name, b, occ) + "\n")
         with open(osp.join(root, "calib", f"{idx:06d}.txt"), "w") as f:
             f.write(ctext)
         if (idx + 1) % 100 == 0:

@@ -116,6 +116,40 @@ def invert_to_torch_sd(variables, cfg):
     return sd
 
 
+def restatement_voxelize(points, cfg):
+    """spconv VoxelGenerator semantics (reference core/preprocess.py:18-33),
+    restated INDEPENDENTLY of the framework's voxelizer: first-come voxel
+    ids, first-K points per voxel, max_voxels cap, mean-pooled features.
+    Vectorized numpy (the framework's host reference in core/voxelize.py
+    is a sequential loop; this shares no code with either the on-device
+    or the host path). Returns (mean feats (Nv, C), coords (Nv, 3) zyx).
+    """
+    nz, ny, nx = cfg.grid_shape_zyx
+    lo = np.asarray(cfg.grid_bounds[:3], points.dtype)
+    vs = np.asarray(cfg.voxel_size, points.dtype)
+    ix = np.floor((points[:, :3] - lo) / vs).astype(np.int64)  # (x, y, z)
+    ok = ((ix >= 0) & (ix < np.array([nx, ny, nz]))).all(1)
+    pts, ix = points[ok], ix[ok]
+    key = (ix[:, 2] * ny + ix[:, 1]) * nx + ix[:, 0]
+    uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
+    vrank = np.argsort(np.argsort(first))   # appearance rank per unique key
+    vid = vrank[inv]                        # first-come voxel id per point
+    n_vox = min(len(uniq), cfg.max_voxels)
+    order = np.argsort(vid, kind="stable")  # groups voxels, keeps pt order
+    sv = vid[order]
+    slot = np.arange(len(sv)) - np.searchsorted(sv, sv)
+    keep = (sv < n_vox) & (slot < cfg.max_occupancy)
+    feats = np.zeros((n_vox, points.shape[1]), np.float64)
+    cnt = np.zeros((n_vox,), np.int64)
+    np.add.at(feats, sv[keep], pts[order][keep].astype(np.float64))
+    np.add.at(cnt, sv[keep], 1)
+    feats /= np.maximum(cnt, 1)[:, None]
+    coords = np.zeros((n_vox, 3), np.int64)
+    kv = vid < n_vox
+    coords[vid[kv]] = ix[kv][:, ::-1]
+    return feats.astype(np.float32), coords
+
+
 def _sort_by_key(coords, grid):
     _, h, w = grid
     key = (coords[:, 0].astype(np.int64) * h + coords[:, 1]) * w + coords[:, 2]
@@ -134,6 +168,8 @@ def _conv_taps(feats_t, skey, in_grid, out_coords, kernel, stride, pad, wk):
     kz, ky, kx = wk.shape[2:]
     n_out = len(out_coords)
     out = torch.zeros((n_out, wk.shape[0]), dtype=torch.float32)
+    if len(skey) == 0:  # empty active set: skey[pos] below would IndexError
+        return out
     base = out_coords * np.asarray(stride) - np.asarray(pad)
     for dz in range(kz):
         for dy in range(ky):
@@ -223,7 +259,7 @@ def main():
     ap.add_argument("--data-root", required=True)
     ap.add_argument("--split-dir", required=True)
     ap.add_argument("--cache-dir", required=True)
-    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--dense-middle", action="store_true",
                     help="use the dense-grid torch restatement (exact but "
                          "~50 TFLOP/frame; only viable on tiny grids)")
@@ -239,7 +275,6 @@ def main():
 
     from vision3d_tpu.config import Config
     from vision3d_tpu.core.anchors import make_anchors
-    from vision3d_tpu.core.voxelize import mean_vfe, voxelize_batch
     from vision3d_tpu.data.kitti import KittiDataset
     from vision3d_tpu.data.loader import pad_points
     from vision3d_tpu.eval.kitti_eval import evaluate_all
@@ -279,24 +314,24 @@ def main():
         det = infer(points, num)
         dets_ours.append(extract_detections(det)[0])
 
-        vox = voxelize_batch(points, num, cfg)
-        feats = np.asarray(mean_vfe(vox["features"], vox["occupancy"]))[0]
-        coords = np.asarray(vox["coords"])[0]
-        vmask = np.asarray(vox["voxel_mask"])[0]
-        sel = np.flatnonzero(vmask)
-        zyx = coords[sel]
+        # restatement-owned voxelizer: raw (unpadded) points in, so the
+        # torch path shares NOTHING with the system under test upstream
+        # of the decode (VERDICT r4 weak #6)
+        feats, zyx = restatement_voxelize(
+            item["points"].astype(np.float32), cfg
+        )
         with torch.no_grad():
             if args.dense_middle:
                 dense = np.zeros((4, d, h, w), np.float32)
                 mask0 = np.zeros((d, h, w), bool)
-                dense[:, zyx[:, 0], zyx[:, 1], zyx[:, 2]] = feats[sel].T
+                dense[:, zyx[:, 0], zyx[:, 1], zyx[:, 2]] = feats.T
                 mask0[zyx[:, 0], zyx[:, 1], zyx[:, 2]] = True
                 bev_t, _ = parity.torch_cnn_forward(
                     sd, torch.tensor(dense)[None], torch.tensor(mask0)
                 )
             else:
                 bev_t = torch_sparse_cnn_forward(
-                    parity, sd, feats[sel], zyx, (d, h, w)
+                    parity, sd, feats, zyx, (d, h, w)
                 )
             _, cls_t, reg_t = parity.torch_rpn_head(sd, bev_t, cfg)
         det_t = head_inference(
@@ -315,12 +350,30 @@ def main():
         print(f"frame {i}: ours {len(dets_ours[-1]['boxes'])} dets, "
               f"torch {len(dets_torch[-1]['boxes'])} dets", flush=True)
 
+    # per-frame box-parameter agreement (VERDICT r4 weak #6): when the
+    # two sides keep the same detection count, compare boxes row-by-row
+    # (both are extracted in score-sorted order)
+    box_delta, score_delta, mismatch = 0.0, 0.0, 0
+    for do, dt in zip(dets_ours, dets_torch):
+        if len(do["boxes"]) != len(dt["boxes"]):
+            mismatch += 1
+            continue
+        if len(do["boxes"]):
+            box_delta = max(box_delta, float(
+                np.abs(np.asarray(do["boxes"]) - np.asarray(dt["boxes"])).max()))
+            score_delta = max(score_delta, float(
+                np.abs(np.asarray(do["scores"]) - np.asarray(dt["scores"])).max()))
+
     ap_ours = evaluate_all(dets_ours, gts, cfg.num_classes)
     ap_torch = evaluate_all(dets_torch, gts, cfg.num_classes)
     result = {
         "frames": len(gts),
         "ap_ours": ap_ours,
         "ap_torch_restated": ap_torch,
+        "voxelizer": "restatement-owned (independent numpy first-come)",
+        "box_param_delta_max": box_delta,
+        "score_delta_max": score_delta,
+        "frames_det_count_mismatch": mismatch,
     }
     print(json.dumps(result, default=float))
     if args.out_json:

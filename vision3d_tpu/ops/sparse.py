@@ -772,6 +772,9 @@ def zwin_rulebook_dense_shift(t4c, col_cell, n_in, in_grid, out_keys,
     od, oh, ow = out_grid
     ohw = oh * ow
     assert kz <= 3
+    # records round-trip through f32 in the image/patches pipeline:
+    # colstart (a row index < n_in) must stay exact in a 24-bit mantissa
+    assert n_in < (1 << 24), n_in
 
     if img is None:
         img = dense_record_image(t4c, col_cell, in_grid)
@@ -1311,6 +1314,12 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
     Returns (rb_subm or None, rb_down, out_keys, out_mask, n_dropped) —
     n_dropped (B,) counts capacity-truncated active output sites per
     sample (see downsample_active_set).
+
+    Note: on the dense-shift branch (mid-size BEV grids) the
+    ``subm_col_cap`` / ``down_col_cap`` column caps are UNUSED — the
+    record image is built at cap n (columns can never exceed sites, so
+    no truncation is possible there); tuning those config capacities
+    only affects the huge-BEV cached/scatter branch below.
     """
     b, n = keys.shape
     out_grid = out_grid_shape(grid, down_kernel, down_stride, down_pad)
