@@ -1,6 +1,13 @@
 """Pallas column-sparse conv: tile-aligned DMA gather + in-VMEM im2col.
 
-Why this kernel exists (measured round 3, v5e): TPU stores every 2-D
+STATUS: measured negative — NOT in the production path. The per-row DMA
+issue rate is scalar-bound at ~25ns/row on v5e (ARCHITECTURE.md round-3
+notes), worse than XLA's ~3ns/row small-row gather for every relevant
+row count; the production conv path is the XLA gather + Pallas z-window
+align/GEMM (ops/pallas/zwin_conv.py). Kept as the honest record of the
+measurement (tools/microbench_gather.py drives it).
+
+Why this kernel was tried (measured round 3, v5e): TPU stores every 2-D
 array in (8, 128) tiles, so ANY single-row XLA gather fetches a full 2KB
 tile — payload efficiency is W_bytes/2KB and the row gather is already
 at physical HBM bandwidth. And XLA materializes every dot operand, so
