@@ -180,8 +180,12 @@ def main():
             getattr(k, "key", getattr(k, "idx", "")).__str__() for k in path
         )
         flat[name] = flat.get(name, 0) + int(np.asarray(leaf).sum())
+    # every capacity-overflow counter the graph sows: voxel-backend
+    # stage{i}_dropped, column-backend columns_dropped / input col drops,
+    # and the densify cutover's stage{i}_densify_dropped
     stage_dropped = [
-        v for k, v in sorted(flat.items()) if "stage" in k and "dropped" in k
+        v for k, v in sorted(flat.items())
+        if "dropped" in k and "voxelizer" not in k
     ]
     vox_dropped = sum(v for k, v in flat.items() if "voxelizer" in k)
 
@@ -258,8 +262,13 @@ def main():
                 # now cover the measured spconv dilation like the
                 # reference's dynamic kernels do.
                 "stage_capacities": [
-                    cfg.stage_voxel_capacity(i) for i in range(5)
+                    cfg.stage_column_capacity(i)
+                    if cfg.sparse_backend == "column"
+                    else cfg.stage_voxel_capacity(i)
+                    for i in range(5)
                 ],
+                "sparse_backend": cfg.sparse_backend,
+                "dense_from_stage": cfg.dense_from_stage,
                 # all-zero = no capacity truncated any real active site on
                 # this workload (runtime overflow detector, VERDICT r2 #4)
                 "stage_dropped": stage_dropped,

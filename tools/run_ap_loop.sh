@@ -20,13 +20,14 @@ EPOCHS=${EPOCHS:-12}
 CKPT=${CKPT:-./ckpts_synth_${TAG}}
 CONFIG=${CONFIG:-configs/second/car.yaml}
 FRAMES=${FRAMES:-100}
+MODEL=${MODEL:-second}   # second | pvrcnn | pvrcnn2 (crosscheck: second only)
 
 # batch 4 (the reference's own car.yaml batch); the training graph is
 # fully sparse by default (cfg.train_dense_from_stage=4 — the dense
 # stages' conv3d backward OOMs 16GB HBM at full geometry; parameters are
 # representation-independent so eval runs at the default dense cutover)
 if [ "${SKIP_TRAIN:-0}" != "1" ]; then
-  python -m vision3d_tpu.train_cli --config $CONFIG \
+  python -m vision3d_tpu.train_cli --config $CONFIG --model $MODEL \
     --data-root $DATA/training/ --split-dir $DATA/splitfiles/ \
     --cache-dir $DATA/cache/ --ckpt-dir $CKPT --batch-size 4 \
     --epochs $EPOCHS --workers 6 \
@@ -35,15 +36,23 @@ fi
 
 LAST=$(ls -d $CKPT/epoch_* | sed 's/.*epoch_//' | sort -n | tail -1)
 echo "evaluating $CKPT/epoch_$LAST"
-python -m vision3d_tpu.eval_cli --config $CONFIG \
+python -m vision3d_tpu.eval_cli --config $CONFIG --model $MODEL \
   --data-root $DATA/training/ --split-dir $DATA/splitfiles/ \
   --cache-dir $DATA/cache/ --ckpt $CKPT/epoch_$LAST --split val \
   --batch-size 8 --out-json ./AP_${TAG}_ours.json
 
+if [ "$MODEL" == "second" ]; then
+# non-fatal: a crosscheck failure must not discard the trained AP artifact
 python tools/torch_crosscheck.py --ckpt $CKPT/epoch_$LAST \
   --config $CONFIG --data-root $DATA/training/ \
   --split-dir $DATA/splitfiles/ --cache-dir $DATA/cache/ \
-  --frames $FRAMES --out-json ./AP_${TAG}_crosscheck.json
+  --frames $FRAMES --out-json ./AP_${TAG}_crosscheck.json || \
+  echo "{\"error\": \"crosscheck failed, see loop log\"}" \
+    > ./AP_${TAG}_crosscheck.json
+else
+  echo '{"note": "torch crosscheck covers the SECOND restatement only"}' \
+    > ./AP_${TAG}_crosscheck.json
+fi
 
 TAG=$TAG CKPT=$CKPT LAST=$LAST DATA=$DATA CONFIG=$CONFIG python - <<'EOF2'
 import json, os

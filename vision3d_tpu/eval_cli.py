@@ -9,13 +9,19 @@ for the Car 3D AP parity target in BASELINE.md.
 
 import argparse
 import json
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+# see train_cli: make JAX_PLATFORMS effective despite early jax imports
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-def run_eval(cfg, model, variables, dataset, batch_size=8, verbose=True):
+
+def run_eval(cfg, model, variables, dataset, batch_size=8, verbose=True,
+             model_kind="second"):
     from vision3d_tpu.core.anchors import make_anchors
     from vision3d_tpu.data.loader import DataLoader
     from vision3d_tpu.eval.kitti_eval import evaluate_all
@@ -23,8 +29,19 @@ def run_eval(cfg, model, variables, dataset, batch_size=8, verbose=True):
     from vision3d_tpu.models.second import Second
 
     anchors = jnp.asarray(make_anchors(cfg))
+    if model_kind == "second":
+        method, extra = Second.inference, {}
+    else:
+        from vision3d_tpu.models.pvrcnn import PV_RCNN
+
+        if model_kind == "pvrcnn2":
+            method = PV_RCNN.inference_two_stage
+            extra = dict(rng=jax.random.PRNGKey(0))
+        else:
+            method, extra = PV_RCNN.inference, {}
     infer = jax.jit(
-        lambda p, n: model.apply(variables, p, n, anchors, method=Second.inference)
+        lambda p, n: model.apply(variables, p, n, anchors, method=method,
+                                 **extra)
     )
     loader = DataLoader(dataset, cfg, batch_size=batch_size, shuffle=False,
                         drop_last=False)
@@ -63,6 +80,8 @@ def main(argv=None):
     ap.add_argument("--split-dir", default=None)
     ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--out-json", default=None)
+    ap.add_argument("--model", default="second",
+                    choices=["second", "pvrcnn", "pvrcnn2"])
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -87,11 +106,19 @@ def main(argv=None):
     if data_overrides:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_overrides))
     dataset = KittiDataset(cfg, split=args.split)
-    model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    if args.model == "second":
+        model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    else:
+        from vision3d_tpu.training.train import create_pvrcnn_train_state
+
+        model, tx, state = create_pvrcnn_train_state(
+            cfg, jax.random.PRNGKey(0), two_stage=args.model == "pvrcnn2",
+        )
     if args.ckpt:
         state = load_checkpoint(args.ckpt, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    table = run_eval(cfg, model, variables, dataset, args.batch_size)
+    table = run_eval(cfg, model, variables, dataset, args.batch_size,
+                     model_kind=args.model)
     if args.out_json:
         with open(args.out_json, "w") as f:
             json.dump(table, f, indent=2)

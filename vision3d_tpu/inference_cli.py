@@ -9,10 +9,15 @@ writes a BEV image of points + boxes.
 """
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# see train_cli: make JAX_PLATFORMS effective despite early jax imports
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def main(argv=None):

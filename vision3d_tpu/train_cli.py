@@ -14,10 +14,18 @@ mesh.
 """
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Honor JAX_PLATFORMS even when an early jax import (e.g. an interpreter
+# sitecustomize registering an experimental TPU platform) has already
+# locked the backend choice: re-assert the env var through jax.config so
+# `JAX_PLATFORMS=cpu python -m vision3d_tpu.train_cli ...` means CPU.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def main(argv=None):
@@ -34,6 +42,11 @@ def main(argv=None):
     ap.add_argument("--workers", type=int, default=6,
                     help="data-loader worker processes (reference train.py:18)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--model", default="second",
+                    choices=["second", "pvrcnn", "pvrcnn2"],
+                    help="second (default) | pvrcnn (stage-1 proposal "
+                         "training, the reference's trainable surface) | "
+                         "pvrcnn2 (two-stage incl. refinement loss)")
     ap.add_argument("--dense-from", type=int, default=None,
                     help="cfg.train_dense_from_stage override. The default "
                          "(4, fully sparse training graph) fits full KITTI "
@@ -98,9 +111,19 @@ def main(argv=None):
                         num_shards=n_proc, shard_id=proc_id)
     steps_per_epoch = len(loader)
 
-    model, tx, state = create_train_state(
-        cfg, jax.random.PRNGKey(args.seed), steps_per_epoch
-    )
+    if args.model == "second":
+        model, tx, state = create_train_state(
+            cfg, jax.random.PRNGKey(args.seed), steps_per_epoch
+        )
+    else:
+        from vision3d_tpu.training.train import (
+            create_pvrcnn_train_state, make_pvrcnn_train_step,
+        )
+
+        model, tx, state = create_pvrcnn_train_state(
+            cfg, jax.random.PRNGKey(args.seed), steps_per_epoch,
+            two_stage=args.model == "pvrcnn2",
+        )
     start_epoch = 0
     if args.resume:
         state, start_epoch = maybe_resume(cfg.train.ckpt_dir, state)
@@ -119,7 +142,14 @@ def main(argv=None):
         if n != len(devices):
             print(f"using {n}/{len(devices)} devices (batch {cfg.train.batch_size})")
     state = replicate(state, mesh)
-    step_fn = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+    if args.model == "second":
+        raw_step = make_train_step(model, tx, cfg)
+    else:
+        raw_step = make_pvrcnn_train_step(
+            model, tx, cfg, train_stage2=args.model == "pvrcnn2",
+            seed=args.seed,
+        )
+    step_fn = jax.jit(raw_step, donate_argnums=0)
     logger = MetricLogger(
         writers=[StdoutWriter(), JsonlWriter(args.metrics_jsonl)]
         if proc_id == 0 else []
