@@ -107,13 +107,14 @@ def test_compact_rulebooks_match_csr(rng):
     keys = jnp.asarray(np.stack(keys))
     mask = jnp.asarray(np.stack(mask))
 
-    ok_, om_, _ = jax.vmap(lambda kk, mm: sp.downsample_active_set(
+    ok_, om_, nd_ = jax.vmap(lambda kk, mm: sp.downsample_active_set(
         kk, mm, grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), 400))(keys, mask)
     og = sp.out_grid_shape(grid, (3, 3, 3), (2, 2, 2), (1, 1, 1))
     # k3s2p0: exercises dense-shift's high-side pad clamp (py_hi/px_hi > 0)
-    ok0, om0, _ = jax.vmap(lambda kk, mm: sp.downsample_active_set(
+    ok0, om0, nd0 = jax.vmap(lambda kk, mm: sp.downsample_active_set(
         kk, mm, grid, (3, 3, 3), (2, 2, 2), (0, 0, 0), 400))(keys, mask)
     og0 = sp.out_grid_shape(grid, (3, 3, 3), (2, 2, 2), (0, 0, 0))
+    nd_by_pad = {(1, 1, 1): nd_, (0, 0, 0): nd0}
 
     rec = sp.build_csr(keys, mask, grid)
     t4c, slotmap, _, ncdrop, col_cell = sp.build_col_compact(keys, mask, grid, 400)
@@ -146,6 +147,22 @@ def test_compact_rulebooks_match_csr(rng):
             np.testing.assert_array_equal(np.asarray(s1), np.asarray(s5))
             np.testing.assert_array_equal(np.asarray(p1), np.asarray(p5))
         if st != (1, 1, 1):
+            # stack-derived output set + rulebook from the SAME stack
+            # (the plan_stage_batched dense-shift branch wiring)
+            stack = sp.dense_shift_stack(img, grid, outg, (3, 3, 3), st,
+                                         pd)
+            ok6, om6, nd6 = sp.downsample_from_stack(
+                stack, grid[0], outg, (3, 3, 3), st, pd, 400)
+            np.testing.assert_array_equal(np.asarray(nd_by_pad[pd]),
+                                          np.asarray(nd6))
+            np.testing.assert_array_equal(np.asarray(outk), np.asarray(ok6))
+            np.testing.assert_array_equal(np.asarray(outm), np.asarray(om6))
+            s6, p6 = sp.zwin_rulebook_dense_shift(
+                t4c, col_cell, N, grid, ok6, om6, outg, (3, 3, 3), st,
+                pd, stack=stack)
+            np.testing.assert_array_equal(np.asarray(s1), np.asarray(s6))
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(p6))
+        if st != (1, 1, 1):
             s4, p4, cdrop4 = sp.zwin_rulebook_down_scatter(
                 t4c, col_cell, N, grid, outk, outm, outg, (3, 3, 3), st,
                 pd)
@@ -157,6 +174,41 @@ def test_compact_rulebooks_match_csr(rng):
         r2 = sp.rulebook_compact(t4c, slotmap, N, grid, outk, outm, outg,
                                  (3, 3, 3), st, pd)
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_downsample_from_stack_truncation(rng):
+    """Capacity overflow: stack-derived downsample must keep the SAME
+    ascending-key prefix (largest-key truncation) as downsample_active_set
+    and report identical drop counts."""
+    B, N = 2, 400
+    grid = (12, 40, 36)
+    d, h, w = grid
+    keys, mask = [], []
+    for _ in range(B):
+        nact = int(rng.integers(320, 400))
+        k = np.sort(rng.choice(d * h * w, nact, replace=False)).astype(np.int32)
+        k = np.concatenate([k, np.full(N - nact, d * h * w, np.int32)])
+        keys.append(k)
+        mask.append(np.arange(N) < nact)
+    keys = jnp.asarray(np.stack(keys))
+    mask = jnp.asarray(np.stack(mask))
+    cap = 150  # well below the dilated active-set size -> forced drops
+
+    ok_, om_, nd_ = jax.vmap(lambda kk, mm: sp.downsample_active_set(
+        kk, mm, grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), cap))(keys, mask)
+    og = sp.out_grid_shape(grid, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+
+    t4c, _, _, _, col_cell = sp.build_col_compact(keys, mask, grid, N,
+                                                  want_slotmap=False)
+    img = sp.dense_record_image(t4c, col_cell, grid)
+    stack = sp.dense_shift_stack(img, grid, og, (3, 3, 3), (2, 2, 2),
+                                 (1, 1, 1))
+    ok6, om6, nd6 = sp.downsample_from_stack(
+        stack, grid[0], og, (3, 3, 3), (2, 2, 2), (1, 1, 1), cap)
+    assert int(np.asarray(nd6).sum()) > 0
+    np.testing.assert_array_equal(np.asarray(nd_), np.asarray(nd6))
+    np.testing.assert_array_equal(np.asarray(ok_), np.asarray(ok6))
+    np.testing.assert_array_equal(np.asarray(om_), np.asarray(om6))
 
 
 def test_dense_from_sparse_cols_matches_direct(rng):

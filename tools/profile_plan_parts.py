@@ -132,10 +132,16 @@ def main():
             (img, ok, om),
         )
 
+        # csr_zwin_rulebook wants the int32 4-component dense record table
+        # (the round-2 form; the production image is now byte-plane bf16)
         hw1 = grid[1] * grid[2]
+        img_i32 = jnp.stack(
+            sp.unpack_records_bytes(
+                img.reshape(args.batch, hw1, 9).astype(jnp.int32)
+            ), axis=-1,
+        )
         rec_img = jnp.concatenate(
-            [img.reshape(args.batch, hw1, 4),
-             jnp.zeros((args.batch, 1, 4), jnp.int32)], axis=1
+            [img_i32, jnp.zeros((args.batch, 1, 4), jnp.int32)], axis=1
         ).reshape(args.batch * (hw1 + 1), 4)
         report(
             f"s{si}.csrimg_subm",

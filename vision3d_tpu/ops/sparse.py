@@ -743,9 +743,141 @@ def zwin_rulebook_down_scatter(t4c, col_cell, n_in, in_grid, out_keys,
     return start, pattern, ncol_dropped
 
 
+def dense_shift_stack(img, in_grid, out_grid, kernel, stride, pad):
+    """(B, OHW, 9*K2) byte-plane neighbor stack of a record image: ONE
+    identity-filter patches conv (see zwin_rulebook_dense_shift). The
+    stack of a DOWN conv serves double duty: the down rulebook's site
+    rows AND the output active set (downsample_from_stack)."""
+    b = img.shape[0]
+    _, h, w = in_grid
+    _, oh, ow = out_grid
+    ky, kx = kernel[1], kernel[2]
+    py_hi = max((oh - 1) * stride[1] + ky - 1 - pad[1] - (h - 1), 0)
+    px_hi = max((ow - 1) * stride[2] + kx - 1 - pad[2] - (w - 1), 0)
+    pat = jax.lax.conv_general_dilated_patches(
+        img, filter_shape=(ky, kx),
+        window_strides=(stride[1], stride[2]),
+        padding=((pad[1], py_hi), (pad[2], px_hi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    stack = pat.reshape(b, oh * ow, 9 * ky * kx)
+    # must materialize: fused into per-site gathers it would regress to
+    # K2 record gathers per site (the round-2 dense-table design)
+    return jax.lax.optimization_barrier(stack)
+
+
+def _nth_set_bit(w0, w1, w2, j):
+    """Position of the j-th set bit (j 0-based) of the 48-bit column
+    occupancy (three 16-bit words). Pure vector math: word select by
+    popcount prefix + 4-step binary search inside the 16-bit word."""
+    pc = jax.lax.population_count
+    c0 = pc(w0)
+    c01 = c0 + pc(w1)
+    in0 = j < c0
+    in1 = (~in0) & (j < c01)
+    word = jnp.where(in0, w0, jnp.where(in1, w1, w2))
+    base = jnp.where(in0, 0, jnp.where(in1, 16, 32))
+    rem = j - jnp.where(in0, 0, jnp.where(in1, c0, c01))
+    pos = jnp.zeros_like(j)
+    for width in (8, 4, 2, 1):
+        lowmask = (jnp.int32(1) << width) - 1
+        cl = pc((word >> pos) & lowmask)
+        go_hi = rem >= cl
+        rem = rem - jnp.where(go_hi, cl, 0)
+        pos = pos + jnp.where(go_hi, width, 0)
+    return base + pos
+
+
+def downsample_from_stack(stack, in_d, out_grid, kernel, stride, pad,
+                          out_cap):
+    """Active OUTPUT set of a strided sparse conv, computed from the
+    down conv's dense-shift stack instead of sorting candidate keys.
+
+    downsample_active_set sorts J*N candidate keys per sample (~25ms at
+    stage 1, batch 8 — the sort is the cost). But the stack already
+    holds, per output BEV cell, its K2 neighbor columns' z-occupancy
+    words, so the output set is pure vector bit math: OR the words
+    across taps, fold the z window (spconv dilation semantics: any
+    active input in the receptive field), popcount+cumsum for per-cell
+    row spans, one ascending head scatter + cummax fill to expand spans
+    to sites, and a 4-step binary bit search for each site's z.
+
+    Returns (out_keys (B, out_cap), out_mask, n_dropped) — bit-identical
+    to vmapped downsample_active_set (ascending keys, largest-key
+    truncation), tested in tests/test_pallas_kernels.py.
+    """
+    import functools
+
+    b, ohw, lanes = stack.shape
+    kz = kernel[0]
+    k2 = kernel[1] * kernel[2]
+    od = out_grid[0]
+    assert lanes == 9 * k2, (lanes, k2)
+    s = stack.astype(jnp.int32)
+
+    def orplane(c):  # OR over the K2 taps of byte plane c -> (B, OHW)
+        return functools.reduce(
+            jnp.bitwise_or, [s[:, :, c * k2 + t] for t in range(k2)]
+        )
+
+    u0 = orplane(0) | (orplane(1) << 8)
+    u1 = orplane(2) | (orplane(3) << 8)
+    u2 = orplane(4) | (orplane(5) << 8)
+
+    def inbit(z):
+        if z < 0 or z >= in_d:
+            return None
+        w = (u0, u1, u2)[z // 16]
+        return (w >> (z % 16)) & 1
+
+    zero = jnp.zeros_like(u0)
+    ow0, ow1, ow2 = zero, zero, zero
+    for oz in range(od):
+        bit = None
+        for dz in range(kz):
+            bz = inbit(oz * stride[0] - pad[0] + dz)
+            if bz is not None:
+                bit = bz if bit is None else (bit | bz)
+        if bit is None:
+            continue
+        if oz < 16:
+            ow0 = ow0 | (bit << oz)
+        elif oz < 32:
+            ow1 = ow1 | (bit << (oz - 16))
+        else:
+            ow2 = ow2 | (bit << (oz - 32))
+
+    pc = jax.lax.population_count
+    cnt = pc(ow0) + pc(ow1) + pc(ow2)
+    cstart = jnp.cumsum(cnt, axis=1) - cnt  # exclusive per-cell row start
+    total = cstart[:, -1] + cnt[:, -1]
+    n_dropped = jnp.maximum(total - out_cap, 0)
+
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    cells = jnp.broadcast_to(
+        jnp.arange(ohw, dtype=jnp.int32)[None, :], (b, ohw)
+    )
+    addr = jnp.where((cnt > 0) & (cstart < out_cap),
+                     bidx * out_cap + cstart, b * out_cap)
+    heads = jnp.full((b * out_cap + 1,), -1, jnp.int32).at[
+        addr.reshape(-1)
+    ].set(cells.reshape(-1), mode="drop")[:-1].reshape(b, out_cap)
+    cell_of = jax.lax.cummax(heads, axis=1)  # span fill (first head row 0)
+    rows = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
+    out_mask = rows < jnp.minimum(total, out_cap)[:, None]
+    cell_of = jnp.where(out_mask, cell_of, 0)
+
+    table = jnp.stack([ow0, ow1, ow2, cstart], axis=-1)  # (B, OHW, 4)
+    g = _take_maybe_per_sample(table, cell_of)           # (B, cap, 4)
+    z = _nth_set_bit(g[..., 0], g[..., 1], g[..., 2], rows - g[..., 3])
+    okey = cell_of * od + z
+    sen = sentinel_key(out_grid)
+    return jnp.where(out_mask, okey, sen), out_mask, n_dropped
+
+
 def zwin_rulebook_dense_shift(t4c, col_cell, n_in, in_grid, out_keys,
                               out_mask, out_grid, kernel, stride=(1, 1, 1),
-                              pad=(0, 0, 0), img=None):
+                              pad=(0, 0, 0), img=None, stack=None):
     """Z-window rulebook via a DENSE record image + shifted slices.
 
     zwin_rulebook_cached / _down_scatter pay 1-2 indexed ops per cache
@@ -772,44 +904,35 @@ def zwin_rulebook_dense_shift(t4c, col_cell, n_in, in_grid, out_keys,
     od, oh, ow = out_grid
     ohw = oh * ow
     assert kz <= 3
-    # records round-trip through f32 in the image/patches pipeline:
-    # colstart (a row index < n_in) must stay exact in a 24-bit mantissa
+    # records round-trip as 3 BYTE planes in the image/patches pipeline:
+    # colstart (a row index < n_in) must fit 24 bits
     assert n_in < (1 << 24), n_in
 
-    if img is None:
-        img = dense_record_image(t4c, col_cell, in_grid)
-
-    # (B, OH*OW, 4*K2) neighbor stack as ONE identity-filter conv
-    # (lax patches): K2 separate shifted slices each materialize a
-    # (.., 4)-minor tensor the TPU lane-pads 32x — the patches lowering
-    # emits the stack in one pass (channel-major: component c's K2 taps
-    # are lanes [c*K2, (c+1)*K2)). Records are exact in f32 (16-bit
-    # words, colstart < 2^24). Zero-padded edges = the miss record.
-    py_hi = max((oh - 1) * stride[1] + ky - 1 - pad[1] - (h - 1), 0)
-    px_hi = max((ow - 1) * stride[2] + kx - 1 - pad[2] - (w - 1), 0)
-    pat = jax.lax.conv_general_dilated_patches(
-        img, filter_shape=(ky, kx),
-        window_strides=(stride[1], stride[2]),
-        padding=((pad[1], py_hi), (pad[2], px_hi)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        # TPU f32 convs default to bf16 multiplies (8 mantissa bits) —
-        # 16-bit record words would round; HIGHEST keeps them exact
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    stack = pat.reshape(b, ohw, 4 * k2)
-    # must materialize: fused into the site gather below it would regress
-    # to K2 record gathers per site (the round-2 dense-table design)
-    stack = jax.lax.optimization_barrier(stack)
+    if stack is None:
+        if img is None:
+            img = dense_record_image(t4c, col_cell, in_grid)
+        # (B, OH*OW, 9*K2) neighbor stack as ONE identity-filter conv
+        # (lax patches): K2 separate shifted slices each materialize a
+        # narrow-minor tensor the TPU lane-pads heavily — the patches
+        # lowering emits the stack in one pass (channel-major: byte plane
+        # c's K2 taps are lanes [c*K2, (c+1)*K2)). Records ride as BYTE
+        # planes (pack_records_bytes), exact in bf16 at default conv
+        # precision. Zero-padded edges = the miss record.
+        stack = dense_shift_stack(img, in_grid, out_grid, kernel, stride,
+                                  pad)
 
     ok = jnp.where(out_mask, out_keys, 0)
     cell_out = jnp.where(out_mask, ok // od, 0)
-    crow = _take_maybe_per_sample(stack, cell_out)  # (B, M, 4*K2)
+    crow = _take_maybe_per_sample(stack, cell_out)  # (B, M, 9*K2)
     crow = jnp.where(out_mask[:, :, None], crow, 0).astype(jnp.int32)
 
-    w0 = crow[:, :, :k2].reshape(b, m * k2)
-    w1 = crow[:, :, k2:2 * k2].reshape(b, m * k2)
-    w2 = crow[:, :, 2 * k2:3 * k2].reshape(b, m * k2)
-    colstart = crow[:, :, 3 * k2:].reshape(b, m * k2)
+    def plane(c):  # byte plane c: lanes [c*K2, (c+1)*K2) of the stack
+        return crow[:, :, c * k2:(c + 1) * k2].reshape(b, m * k2)
+
+    w0 = plane(0) + (plane(1) << 8)
+    w1 = plane(2) + (plane(3) << 8)
+    w2 = plane(4) + (plane(5) << 8)
+    colstart = plane(6) + (plane(7) << 8) + (plane(8) << 16)
     oz = jnp.where(out_mask, ok % od, 0)
     z0 = jnp.broadcast_to(
         (oz * stride[0] - pad[0])[:, :, None], (b, m, k2)
@@ -817,22 +940,58 @@ def zwin_rulebook_dense_shift(t4c, col_cell, n_in, in_grid, out_keys,
     return _zwin_from_records(w0, w1, w2, colstart, z0, d, kz, n_in)
 
 
+def pack_records_bytes(t4c):
+    """(.., 4) int32 records -> (.., 9) BYTE planes, each value in
+    [0, 256): [w0lo, w0hi, w1lo, w1hi, w2lo, w2hi, cs0, cs1, cs2].
+    Bytes are exact in bf16 (8 mantissa bits), so the record image and
+    its K2-tap patches stack can live at HALF the f32 lane traffic and
+    run the patches conv at default (bf16) precision."""
+    w0, w1, w2, cs = (t4c[..., k] for k in range(4))
+    planes = [w0 & 255, w0 >> 8, w1 & 255, w1 >> 8, w2 & 255, w2 >> 8,
+              cs & 255, (cs >> 8) & 255, (cs >> 16) & 255]
+    return jnp.stack(planes, axis=-1)
+
+
+def unpack_records_bytes(p):
+    """Inverse of pack_records_bytes: (.., 9) int32 byte planes ->
+    (w0, w1, w2, colstart) int32 components."""
+    w0 = p[..., 0] + (p[..., 1] << 8)
+    w1 = p[..., 2] + (p[..., 3] << 8)
+    w2 = p[..., 4] + (p[..., 5] << 8)
+    cs = p[..., 6] + (p[..., 7] << 8) + (p[..., 8] << 16)
+    return w0, w1, w2, cs
+
+
 def dense_record_image(t4c, col_cell, in_grid):
     """Scatter compact column records (build_col_compact) into a dense
-    (B, H, W, 4) f32 record image (exact: 16-bit words, colstart < 2^24;
-    f32 so the K2-tap stack can be one MXU patches conv). Addresses
-    ascend within each sample (col_cell is built from sorted keys);
-    inactive cells keep the all-zero miss record."""
+    (B, H, W, 9) bf16 BYTE-plane record image (pack_records_bytes; exact:
+    every plane < 256 and bf16 carries 8 mantissa bits).
+
+    Round-5 rework, measured on the two costs of the round-4 f32 form:
+    - the scatter: col_cell's active slots are ascending unique cells and
+      the inactive slots are a strict suffix (build_col_compact compacts
+      actives to the front), so routing each inactive slot j to its own
+      per-sample sink row hw+1+j makes the flat address vector globally
+      sorted AND unique — XLA gets indices_are_sorted/unique_indices and
+      can emit a streaming scatter instead of per-row RMW (the f32 image
+      build measured 19ms at stage 1, batch 8).
+    - the lane padding: 4 f32 lanes padded 32x; 9 bf16 byte planes halve
+      the padded bytes, and the patches conv runs at default precision.
+    """
     b = t4c.shape[0]
     nc = t4c.shape[1] - 1
     _, h, w = in_grid
     hw = h * w
+    stride_r = hw + 1 + nc  # hw cells + one sink row per (suffix) slot
     bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
-    addr = jnp.where(col_cell[:, :nc] < hw, bidx * hw + col_cell[:, :nc],
-                     b * hw).reshape(-1)
-    img = jnp.zeros((b * hw + 1, 4), jnp.float32).at[addr].set(
-        t4c[:, :nc].reshape(-1, 4).astype(jnp.float32), mode="drop")[:-1]
-    return img.reshape(b, h, w, 4)
+    slots = jnp.arange(nc, dtype=jnp.int32)[None, :]
+    cc = col_cell[:, :nc]
+    addr = jnp.where(cc < hw, bidx * stride_r + cc,
+                     bidx * stride_r + hw + 1 + slots).reshape(-1)
+    vals = pack_records_bytes(t4c[:, :nc]).reshape(-1, 9).astype(jnp.bfloat16)
+    img = jnp.zeros((b * stride_r, 9), jnp.bfloat16).at[addr].set(
+        vals, indices_are_sorted=True, unique_indices=True, mode="drop")
+    return img.reshape(b, stride_r, 9)[:, :hw].reshape(b, h, w, 9)
 
 
 def _compact_nbr_records(t4c, slotmap, in_grid, out_keys, out_mask,
@@ -1323,11 +1482,6 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
     """
     b, n = keys.shape
     out_grid = out_grid_shape(grid, down_kernel, down_stride, down_pad)
-    out_keys, out_mask, n_dropped = jax.vmap(
-        lambda kk, mm: downsample_active_set(
-            kk, mm, grid, down_kernel, down_stride, down_pad, out_cap
-        )
-    )(keys, mask)
 
     if grid[0] <= 48 and grid[1] * grid[2] <= DENSE_SHIFT_MAX_BEV_CELLS:
         # z-window rulebooks: (start, pattern) pairs consumed by
@@ -1336,14 +1490,24 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
         # shared by the subm and down rulebooks, each built by a single
         # identity-filter patches conv + one wide row gather per site
         # (zwin_rulebook_dense_shift) — replaces the per-column cache
-        # gathers of zwin_rulebook_cached / _down_scatter (s1 plan
-        # 97 -> 31ms measured, batch 8). At stage-0 BEV size the stack
-        # materialization loses to the caches (and can exceed HBM), so
-        # the huge-grid stage keeps the cached/scatter path below.
+        # gathers of zwin_rulebook_cached / _down_scatter. At stage-0
+        # BEV size the stack materialization loses to the caches (and
+        # can exceed HBM), so the huge-grid stage keeps the cached/
+        # scatter path below.
+        # Round 5: the down stack ALSO yields the output active set
+        # (downsample_from_stack) — the sorted-candidate downsample
+        # (~25ms of per-sample sorts at stage 1) leaves this branch
+        # entirely, and records ride as bf16 byte planes.
         # cap = n: columns can never exceed sites, so no truncation here
         t4c, _, _, _, col_cell = build_col_compact(keys, mask, grid, n,
                                                    want_slotmap=False)
         img = dense_record_image(t4c, col_cell, grid)
+        stack_d = dense_shift_stack(img, grid, out_grid, down_kernel,
+                                    down_stride, down_pad)
+        out_keys, out_mask, n_dropped = downsample_from_stack(
+            stack_d, grid[0], out_grid, down_kernel, down_stride,
+            down_pad, out_cap,
+        )
         rbs = None
         if subm_kernel is not None:
             pad_s = tuple(s // 2 for s in subm_kernel)
@@ -1353,9 +1517,15 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
             )
         rbd = zwin_rulebook_dense_shift(
             t4c, col_cell, n, grid, out_keys, out_mask, out_grid,
-            down_kernel, down_stride, down_pad, img=img,
+            down_kernel, down_stride, down_pad, stack=stack_d,
         )
         return rbs, rbd, out_keys, out_mask, n_dropped
+
+    out_keys, out_mask, n_dropped = jax.vmap(
+        lambda kk, mm: downsample_active_set(
+            kk, mm, grid, down_kernel, down_stride, down_pad, out_cap
+        )
+    )(keys, mask)
 
     if grid[0] <= 48:
         # huge-BEV stage: compact per-column record caches (round 3)
