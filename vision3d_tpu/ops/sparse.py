@@ -965,33 +965,30 @@ def unpack_records_bytes(p):
 def dense_record_image(t4c, col_cell, in_grid):
     """Scatter compact column records (build_col_compact) into a dense
     (B, H, W, 9) bf16 BYTE-plane record image (pack_records_bytes; exact:
-    every plane < 256 and bf16 carries 8 mantissa bits).
+    every plane < 256 and bf16 carries 8 mantissa bits). Byte planes let
+    the K2-tap patches conv run at default (bf16) precision — the f32
+    form needed Precision.HIGHEST to keep 16-bit words exact (~21ms vs
+    ~8ms for both stage-1 stacks, batch 8).
 
-    Round-5 rework, measured on the two costs of the round-4 f32 form:
-    - the scatter: col_cell's active slots are ascending unique cells and
-      the inactive slots are a strict suffix (build_col_compact compacts
-      actives to the front), so routing each inactive slot j to its own
-      per-sample sink row hw+1+j makes the flat address vector globally
-      sorted AND unique — XLA gets indices_are_sorted/unique_indices and
-      can emit a streaming scatter instead of per-row RMW (the f32 image
-      build measured 19ms at stage 1, batch 8).
-    - the lane padding: 4 f32 lanes padded 32x; 9 bf16 byte planes halve
-      the padded bytes, and the patches conv runs at default precision.
+    Build strategy is measurement-driven (tools/probe_img_variants.py,
+    v5e stage-1 geometry, batch 8): the f32 4-lane .at[].set scatter is
+    the cheapest image write (19.1ms); scattering bf16 byte planes
+    directly costs 55.4ms (16-bit scatter lowering), and sorted/unique
+    sink-row addressing costs 22.6ms (the larger buffer beats the
+    hints). So: f32 scatter first, then ONE streaming elementwise pass
+    expands the 4 exact f32 components into the 9 bf16 byte planes.
     """
     b = t4c.shape[0]
     nc = t4c.shape[1] - 1
     _, h, w = in_grid
     hw = h * w
-    stride_r = hw + 1 + nc  # hw cells + one sink row per (suffix) slot
     bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
-    slots = jnp.arange(nc, dtype=jnp.int32)[None, :]
-    cc = col_cell[:, :nc]
-    addr = jnp.where(cc < hw, bidx * stride_r + cc,
-                     bidx * stride_r + hw + 1 + slots).reshape(-1)
-    vals = pack_records_bytes(t4c[:, :nc]).reshape(-1, 9).astype(jnp.bfloat16)
-    img = jnp.zeros((b * stride_r, 9), jnp.bfloat16).at[addr].set(
-        vals, indices_are_sorted=True, unique_indices=True, mode="drop")
-    return img.reshape(b, stride_r, 9)[:, :hw].reshape(b, h, w, 9)
+    addr = jnp.where(col_cell[:, :nc] < hw, bidx * hw + col_cell[:, :nc],
+                     b * hw).reshape(-1)
+    img4 = jnp.zeros((b * hw + 1, 4), jnp.float32).at[addr].set(
+        t4c[:, :nc].reshape(-1, 4).astype(jnp.float32), mode="drop")[:-1]
+    img9 = pack_records_bytes(img4.astype(jnp.int32)).astype(jnp.bfloat16)
+    return img9.reshape(b, h, w, 9)
 
 
 def _compact_nbr_records(t4c, slotmap, in_grid, out_keys, out_mask,
@@ -1501,13 +1498,21 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
         # cap = n: columns can never exceed sites, so no truncation here
         t4c, _, _, _, col_cell = build_col_compact(keys, mask, grid, n,
                                                    want_slotmap=False)
+        # phase BARRIERS are measured, not stylistic: letting XLA fuse
+        # across the col-compact / image / stack / downsample phases
+        # costs +30ms at stage 1, batch 8 (114 -> 84ms with barriers;
+        # tools/probe_compose5.py)
+        t4c, col_cell = jax.lax.optimization_barrier((t4c, col_cell))
         img = dense_record_image(t4c, col_cell, grid)
+        img = jax.lax.optimization_barrier(img)
         stack_d = dense_shift_stack(img, grid, out_grid, down_kernel,
                                     down_stride, down_pad)
         out_keys, out_mask, n_dropped = downsample_from_stack(
             stack_d, grid[0], out_grid, down_kernel, down_stride,
             down_pad, out_cap,
         )
+        out_keys, out_mask = jax.lax.optimization_barrier(
+            (out_keys, out_mask))
         rbs = None
         if subm_kernel is not None:
             pad_s = tuple(s // 2 for s in subm_kernel)
