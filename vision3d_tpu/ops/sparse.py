@@ -1535,6 +1535,11 @@ def plan_stage_batched(keys, mask, grid, down_kernel, down_stride, down_pad,
     if grid[0] <= 48:
         # huge-BEV stage: compact per-column record caches (round 3)
         t4c, slotmap, _, _, col_cell = build_col_compact(keys, mask, grid, n)
+        # same measured phase-barrier medicine as the dense-shift branch
+        # (probe_compose5.py: cross-phase fusion cost +30ms at stage 1)
+        t4c, slotmap, col_cell, out_keys, out_mask = (
+            jax.lax.optimization_barrier(
+                (t4c, slotmap, col_cell, out_keys, out_mask)))
         pad_s = tuple(s // 2 for s in subm_kernel) if subm_kernel else None
         rbs = None
         if subm_kernel is not None:
