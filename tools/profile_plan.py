@@ -38,7 +38,10 @@ def main():
     from vision3d_tpu.models import sparse_cnn as scnn
     from vision3d_tpu.models.second import build_middle_input
     from vision3d_tpu.ops import sparse as sp
-    from vision3d_tpu.ops.pallas.zwin_conv import conv_zwin_apply_pallas2
+    from vision3d_tpu.ops.pallas.zwin_conv import (
+        conv_zwin_apply_pallas2,
+        conv_zwin_apply_pallas3,
+    )
 
     cfg = Config().replace(num_classes=1, compute_dtype="bfloat16")
     cfg = cfg.replace(anchors=cfg.anchors[:1])
@@ -102,6 +105,15 @@ def main():
                     f, s, p, ww, (3, 3, 3)),
                 (feats, rbs[0], rbs[1], w),
             )
+            # v3 on the REAL rulebook: its k2-major gather's locality
+            # (consecutive sites of one tap fetch near-consecutive rows)
+            # only shows on sorted production plans, not random patterns
+            report(
+                f"s{si}.subm_conv_pl3_c{cc}",
+                lambda f, s, p, ww: conv_zwin_apply_pallas3(
+                    f, s, p, ww, (3, 3, 3)),
+                (feats, rbs[0], rbs[1], w),
+            )
         feats = jax.random.normal(rng, (b, n, subm_ch[-1]), jnp.bfloat16)
         wd = jax.random.normal(rng, (27 * subm_ch[-1], cdown), jnp.float32)
         report(
@@ -113,6 +125,11 @@ def main():
         report(
             f"s{si}.down_conv_pl2",
             lambda f, s, p, ww: conv_zwin_apply_pallas2(f, s, p, ww, dk),
+            (feats, rbd[0], rbd[1], wd),
+        )
+        report(
+            f"s{si}.down_conv_pl3",
+            lambda f, s, p, ww: conv_zwin_apply_pallas3(f, s, p, ww, dk),
             (feats, rbd[0], rbd[1], wd),
         )
         keys, mask = ok, om

@@ -139,7 +139,11 @@ def time_components():
         vox = jax.jit(lambda p, n: voxelize_batch(p, n, cfg))(pts, num)
         st = jax.jit(lambda v: build_middle_input(cfg, v))(vox)
         cnn = CNN_FACTORY[cfg.cnn](cfg)
-        vs = cnn.init(jax.random.PRNGKey(0), st, False, need_scales=False)
+        # jit the init: eager init dispatches thousands of tiny ops, each a
+        # round-trip on remote-compile backends (minutes-to-hours of setup)
+        vs = jax.jit(
+            lambda r, s: cnn.init(r, s, False, need_scales=False)
+        )(jax.random.PRNGKey(0), st)
         print(f"[{backend}] setup {time.perf_counter()-t0:.1f}s", flush=True)
 
         dt = timeit_scanned(
@@ -157,13 +161,14 @@ def time_components():
 
     bev = jnp.zeros((pts.shape[0], 200, 176, 128), jnp.float32)
     rpn = RPN(c_down=128, c_up=128)
-    vs = rpn.init(jax.random.PRNGKey(0), bev, False)
+    vs = jax.jit(lambda r, b: rpn.init(r, b, False))(
+        jax.random.PRNGKey(0), bev)
     dt = timeit_scanned(lambda b: rpn.apply(vs, b, False), (bev,), iters=10)
     report("rpn", dt)
 
     head = ProposalHead(cfg)
     feats = jnp.zeros((pts.shape[0], 200, 176, 128), jnp.float32)
-    hv = head.init(jax.random.PRNGKey(0), feats)
+    hv = jax.jit(head.init)(jax.random.PRNGKey(0), feats)
     anchors = jnp.asarray(make_anchors(cfg))
     dt = timeit_scanned(lambda f: head.apply(hv, f), (feats,), iters=10)
     report("head_maps", dt)
