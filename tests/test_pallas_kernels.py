@@ -235,6 +235,25 @@ def test_dense_from_sparse_cols_matches_direct(rng):
     ref = scnn.dense_from_sparse(st, keep_keys=True)
     got, cdrop = scnn.dense_from_sparse_cols(st, keep_keys=True, ncol_cap=380)
     assert int(np.asarray(cdrop).sum()) == 0
+    assert got.hwdc and not ref.hwdc
     np.testing.assert_array_equal(np.asarray(ref.occ), np.asarray(got.occ))
-    np.testing.assert_allclose(np.asarray(ref.feats), np.asarray(got.feats),
-                               atol=1e-6)
+    got_zmajor = np.transpose(np.asarray(got.feats), (0, 3, 1, 2, 4))
+    np.testing.assert_allclose(np.asarray(ref.feats), got_zmajor, atol=1e-6)
+
+    # to_voxel_sparse must invert either layout identically
+    np.testing.assert_allclose(
+        np.asarray(ref.to_voxel_sparse().feats),
+        np.asarray(got.to_voxel_sparse().feats), atol=1e-6)
+
+    # the first dense conv consumes the hwdc layout via dimension_numbers:
+    # conv(hwdc input) == conv(z-major input), both NDHWC out
+    C2 = 8
+    wconv = jnp.asarray(
+        rng.normal(size=(27 * C, C2)).astype(np.float32))
+    for stride, pad in (((1, 1, 1), (1, 1, 1)), ((2, 2, 2), (0, 1, 1))):
+        o_ref = scnn._dense_conv(ref.feats, wconv, (3, 3, 3), stride, pad,
+                                 jnp.float32)
+        o_hwdc = scnn._dense_conv(got.feats, wconv, (3, 3, 3), stride, pad,
+                                  jnp.float32, in_hwdc=True)
+        np.testing.assert_allclose(np.asarray(o_ref), np.asarray(o_hwdc),
+                                   atol=1e-4)

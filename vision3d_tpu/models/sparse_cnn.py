@@ -90,20 +90,32 @@ class DenseTensor:
     multiscale) needs compact form.
     """
 
-    feats: jax.Array   # (B, D, H, W, C)
+    feats: jax.Array   # (B, D, H, W, C); (B, H, W, D, C) when hwdc
     occ: jax.Array     # (B, D, H, W) bool — the EXACT spconv active set
     grid: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
     keys: jax.Array = None   # (B, N) optional compact key set
     mask: jax.Array = None
+    # hwdc: feats ride in the densify gather's NATIVE (B, H, W, D, C)
+    # order (a free reshape of the (B, HW, D*C) slab gather) instead of
+    # paying the ~17ms (0,3,1,2,4) transpose into z-major; the FIRST
+    # dense conv consumes it via conv dimension_numbers (input NHWDC ->
+    # output NDHWC) so the relayout rides inside the conv, which runs at
+    # the same speed either way (tools/probe_nhwdc.py). occ stays
+    # z-major always (bools are 75x smaller than the feature volume).
+    hwdc: bool = flax.struct.field(pytree_node=False, default=False)
 
     def to_voxel_sparse(self) -> SparseTensor:
         d, h, w = self.grid
         b = self.feats.shape[0]
         c = self.feats.shape[-1]
         flat = self.feats.reshape(b, d * h * w, c).astype(jnp.float32)
-        # column-major key (y*w + x)*d + z -> z-major raster z*h*w + y*w + x
         k = jnp.where(self.mask, self.keys, 0)
-        raster = (k % d) * (h * w) + k // d
+        if self.hwdc:
+            # (B, H, W, D, C) raster IS the column-major key order
+            raster = k
+        else:
+            # column-major key (y*w+x)*d + z -> z-major raster z*h*w+y*w+x
+            raster = (k % d) * (h * w) + k // d
         f = jnp.take_along_axis(flat, raster[..., None], axis=1)
         f = jnp.where(self.mask[..., None], f, 0.0)
         return SparseTensor(feats=f, keys=self.keys, mask=self.mask,
@@ -165,7 +177,11 @@ def dense_from_sparse_cols(st: SparseTensor, keep_keys: bool,
     cidx = jnp.where((slot >= 0) & (slot < nc), slot, nc)
     slab = slab.at[:, nc].set(0.0)  # miss row
     df = sp._take_maybe_per_sample(slab, cidx)       # (B, HW, D*C)
-    feats = jnp.transpose(df.reshape(b, h, w, d, c), (0, 3, 1, 2, 4))
+    # FREE reshape into (B, H, W, D, C) — the z-major transpose the
+    # first dense conv used to need (~17ms at the stage-2 cutover,
+    # tools/probe_densify5.py: 62.2 -> 44.6ms) now rides inside that
+    # conv via dimension_numbers (see DenseTensor.hwdc)
+    feats = df.reshape(b, h, w, d, c)
     occ_hw = sp._take_maybe_per_sample(
         jnp.concatenate([present[:, :nc], jnp.zeros((b, 1, d), bool)],
                         axis=1),
@@ -174,7 +190,7 @@ def dense_from_sparse_cols(st: SparseTensor, keep_keys: bool,
     occ = jnp.transpose(occ_hw.reshape(b, h, w, d), (0, 3, 1, 2))
     dt = DenseTensor(feats=feats, occ=occ, grid=st.grid,
                      keys=st.keys if keep_keys else None,
-                     mask=st.mask if keep_keys else None)
+                     mask=st.mask if keep_keys else None, hwdc=True)
     return dt, ncol_dropped
 
 
@@ -277,9 +293,7 @@ def dense_from_columns(ct: ColumnTensor, keep_keys: bool,
         [ct.feats, jnp.zeros((b, 1, d * c), ct.feats.dtype)], axis=1
     )
     df = sp._take_maybe_per_sample(table, slot)          # (B, HW, D*C)
-    feats = jnp.transpose(
-        df.reshape(b, h, w, d, c), (0, 3, 1, 2, 4)
-    )
+    feats = df.reshape(b, h, w, d, c)  # free view; see DenseTensor.hwdc
     zt = jnp.concatenate([ct.zmask, jnp.zeros((b, 1, d), bool)], axis=1)
     occ_hw = sp._take_maybe_per_sample(zt, slot)          # (B, HW, D)
     occ = jnp.transpose(occ_hw.reshape(b, h, w, d), (0, 3, 1, 2))
@@ -288,7 +302,7 @@ def dense_from_columns(ct: ColumnTensor, keep_keys: bool,
         vs = ct.to_voxel_sparse(voxel_cap or n * d)
         keys, mask = vs.keys, vs.mask
     return DenseTensor(feats=feats, occ=occ, grid=ct.grid,
-                       keys=keys, mask=mask)
+                       keys=keys, mask=mask, hwdc=True)
 
 
 def _zwin_conv(feats, rb, weight, kernel, cdt, mode):
@@ -308,9 +322,15 @@ def _zwin_conv(feats, rb, weight, kernel, cdt, mode):
                               compute_dtype=cdt)
 
 
-def _dense_conv(x, weight, kernel, stride, pad, cdt):
+def _dense_conv(x, weight, kernel, stride, pad, cdt, in_hwdc=False):
     """conv3d on z-major (B, D, H, W, C) volumes with the shared
-    (K*Cin, Cout) weight layout (K = (dz*ky+dy)*kx+dx row-major)."""
+    (K*Cin, Cout) weight layout (K = (dz*ky+dy)*kx+dx row-major).
+
+    ``in_hwdc``: consume a (B, H, W, D, C)-ordered input (the densify
+    gather's native order — see DenseTensor.hwdc) while still producing
+    z-major output; the layout change rides inside the conv for free
+    (tools/probe_nhwdc.py: conv3d speed is layout-insensitive).
+    """
     kz, ky, kx = kernel
     cin = weight.shape[0] // (kz * ky * kx)
     cout = weight.shape[1]
@@ -322,7 +342,8 @@ def _dense_conv(x, weight, kernel, stride, pad, cdt):
         x.astype(cdt), wk.astype(cdt),
         window_strides=(stride[0], stride[1], stride[2]),
         padding=((pad[0], pad[0]), (pad[1], pad[1]), (pad[2], pad[2])),
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        dimension_numbers=(
+            "NHWDC" if in_hwdc else "NDHWC", "DHWIO", "NDHWC"),
     )
     return out.astype(jnp.float32)
 
@@ -463,10 +484,11 @@ class SubMConv(nn.Module):
         if isinstance(st, DenseTensor):
             cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
             pad3 = tuple(k // 2 for k in self.kernel)
-            out = _dense_conv(st.feats, w, self.kernel, (1, 1, 1), pad3, cdt)
+            out = _dense_conv(st.feats, w, self.kernel, (1, 1, 1), pad3, cdt,
+                              in_hwdc=st.hwdc)
             out = MaskedBatchNorm()(out, st.occ, train)
             out = jnp.where(st.occ[..., None], nn.relu(out), 0.0).astype(cdt)
-            return st.replace(feats=out)
+            return st.replace(feats=out, hwdc=False)
         if isinstance(st, ColumnTensor):
             cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
             d = st.grid[0]
@@ -530,7 +552,7 @@ class SparseConvDown(nn.Module):
         if isinstance(st, DenseTensor):
             cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
             of = _dense_conv(st.feats, w, self.kernel, self.stride, self.pad,
-                             cdt)
+                             cdt, in_hwdc=st.hwdc)
             oz = dense_dilate_occ(st.occ, self.kernel, self.stride, self.pad)
             of = MaskedBatchNorm()(of, oz, train)
             of = jnp.where(oz[..., None], nn.relu(of), 0.0).astype(cdt)
@@ -621,6 +643,12 @@ def to_bev(st) -> jax.Array:
     ``view(N, C*D, H, W)`` on an NCDHW dense tensor (sparse_cnn.py:128-133).
     """
     if isinstance(st, DenseTensor):
+        if st.hwdc:
+            b, h, w, d, c = st.feats.shape
+            occ = jnp.transpose(st.occ, (0, 2, 3, 1))  # -> (B, H, W, D)
+            x = jnp.where(occ[..., None], st.feats, 0.0)
+            # (D, C) minor -> reference c-major (C, D) channel order
+            return jnp.transpose(x, (0, 1, 2, 4, 3)).reshape(b, h, w, c * d)
         b, d, h, w, c = st.feats.shape
         x = jnp.where(st.occ[..., None], st.feats, 0.0)
         return jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
