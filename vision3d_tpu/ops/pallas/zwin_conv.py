@@ -303,7 +303,14 @@ def conv_zwin_apply_pallas3(feats, start, pattern, weight, kernel,
                             compute_dtype=jnp.bfloat16, block_sites=512):
     """v3: XLA gather in k2-major order (its natural output shape is the
     kernel's input — no relayout), Pallas align/GEMM with in-kernel
-    128-aligned offset blocks."""
+    128-aligned offset blocks.
+
+    STATUS: measured negative — NOT the production kernel. On REAL
+    production rulebooks (tools/profile_plan.py, v5e batch 8, round 5)
+    v3 loses to v2 at every stage: s0 subm c16 8.31 vs 7.74ms, s0 subm
+    c4 8.29 vs 5.29, s0 down 27.68 vs 25.19, s1 subm 32.67 vs 31.03,
+    s1 down 29.41 vs 29.28. The hoped-for k2-major gather locality does
+    not pay even on sorted plans. Kept as an equality-tested record."""
     b, n, c = feats.shape
     kz, ky, kx = kernel
     k2 = ky * kx
